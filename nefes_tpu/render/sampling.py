@@ -1,0 +1,94 @@
+"""Ray sampling: stratified coarse samples + inverse-CDF importance samples.
+
+Reference: script/models/rendering.py:23-66 (sample_pdf) and :96-141
+(stratified z + sorted union). TPU notes: everything is static-shaped —
+the coarse+fine union is a fixed-size ``jnp.sort`` over N_samples +
+N_importance values (rendering.py:141's torch.sort equivalent), and the
+inverse CDF uses ``jnp.searchsorted`` batched over rays via vmap-free
+broadcasting.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def stratified_samples(rng: jax.Array | None, n_rays: int, n_samples: int,
+                       near: jnp.ndarray, far: jnp.ndarray,
+                       lindisp: bool = False, perturb: bool = True) -> jnp.ndarray:
+    """(n_rays, n_samples) z values in [near, far].
+
+    near/far: scalars or (n_rays, 1). perturb jitters each sample uniformly
+    inside its interval (reference rendering.py:104-112); rng=None or
+    perturb=False gives the deterministic midpointless grid.
+    """
+    t = jnp.linspace(0.0, 1.0, n_samples)
+    near = jnp.broadcast_to(jnp.asarray(near, jnp.float32), (n_rays, 1))
+    far = jnp.broadcast_to(jnp.asarray(far, jnp.float32), (n_rays, 1))
+    if lindisp:
+        z = 1.0 / (1.0 / near * (1.0 - t) + 1.0 / far * t)
+    else:
+        z = near * (1.0 - t) + far * t
+    if perturb and rng is not None:
+        mids = 0.5 * (z[..., 1:] + z[..., :-1])
+        upper = jnp.concatenate([mids, z[..., -1:]], axis=-1)
+        lower = jnp.concatenate([z[..., :1], mids], axis=-1)
+        u = jax.random.uniform(rng, z.shape)
+        z = lower + (upper - lower) * u
+    return z
+
+
+def sample_pdf(rng: jax.Array | None, bins: jnp.ndarray, weights: jnp.ndarray,
+               n_samples: int, det: bool = False,
+               u_override: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Inverse-CDF sampling of ``n_samples`` new z values per ray.
+
+    bins: (R, B+1) bin edges (the z midpoints); weights: (R, B).
+    Matches reference rendering.py:23-66 including the +1e-5 weight floor,
+    right=True searchsorted on a detached CDF, and the <1e-5 denom guard.
+    ``u_override`` lets parity tests inject the reference's seeded uniforms
+    (the ``pytest=True`` hook at rendering.py:38-47).
+    """
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (R, B+1)
+
+    shape = cdf.shape[:-1] + (n_samples,)
+    if u_override is not None:
+        u = u_override
+    elif det or rng is None:
+        u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, n_samples), shape)
+    else:
+        u = jax.random.uniform(rng, shape)
+
+    cdf_sg = jax.lax.stop_gradient(cdf)
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf_sg, u)
+    below = jnp.maximum(0, inds - 1)
+    above = jnp.minimum(cdf.shape[-1] - 1, inds)
+
+    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_b = jnp.take_along_axis(bins, below, axis=-1)
+    bins_a = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_a - cdf_b
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    t = (u - cdf_b) / denom
+    return bins_b + t * (bins_a - bins_b)
+
+
+def hierarchical_samples(rng: jax.Array | None, z_vals: jnp.ndarray,
+                         weights: jnp.ndarray, n_importance: int,
+                         det: bool = False, combine: bool = True) -> jnp.ndarray:
+    """PDF-sample ``n_importance`` extra z values from coarse weights and
+    (optionally) return the sorted union with the coarse z values
+    (reference rendering.py:132-141). New samples are stop-gradiented
+    (z_samples.detach(), rendering.py:136)."""
+    z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    z_new = sample_pdf(rng, z_mid, weights[..., 1:-1], n_importance, det=det)
+    z_new = jax.lax.stop_gradient(z_new)
+    if not combine:  # use_fine_only mode (rendering.py:138-139)
+        return jnp.sort(z_new, axis=-1)
+    return jnp.sort(jnp.concatenate([z_vals, z_new], axis=-1), axis=-1)
