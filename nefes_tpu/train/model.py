@@ -1,0 +1,127 @@
+"""NeFeSModel — the full model bundle (coarse field + fine field + exposure
+MLP + fusion CNN) with one params pytree.
+
+The reference hangs the exposure MLP and FusionNet off the *coarse* torch
+module (nerfh_nff.py:508-522) purely for checkpoint convenience; here they
+are peer modules under one pytree: params = {coarse, fine, exposure,
+fusion} (+ batch_stats for the fusion BN), which shards/jits cleanly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from nefes_tpu.fields.embedder import EmbedConfig
+from nefes_tpu.fields.nerfh_nff import (
+    FEATURE_DIM, ExposureMLP, FusionNet, NeRFHNFF, affine_color_transform,
+)
+from nefes_tpu.render.renderer import RenderConfig
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    depth: int = 8
+    width: int = 128
+    feature_dim: int = FEATURE_DIM
+    skips: tuple[int, ...] = (4,)
+    hist_bin: int = 10
+    fusion_residual: bool = False
+    fusion_no_bn: bool = False
+    xyz_embed: EmbedConfig = EmbedConfig(num_freqs=10)
+    dir_embed: EmbedConfig = EmbedConfig(num_freqs=4)
+    dtype: Any = jnp.float32
+
+    def render_config(self, **overrides) -> RenderConfig:
+        return RenderConfig(xyz_embed=self.xyz_embed,
+                            dir_embed=self.dir_embed, **overrides)
+
+    @classmethod
+    def tiny(cls) -> "ModelConfig":
+        """Small config for CPU tests."""
+        return cls(depth=2, width=32, feature_dim=8, skips=(1,),
+                   xyz_embed=EmbedConfig(num_freqs=4),
+                   dir_embed=EmbedConfig(num_freqs=2))
+
+
+@dataclass(frozen=True)
+class NeFeSModel:
+    """Frozen (hashable) so it can ride through jit as a static argument."""
+
+    cfg: ModelConfig
+    coarse: NeRFHNFF = dfield(init=False)
+    fine: NeRFHNFF = dfield(init=False)
+    exposure: ExposureMLP = dfield(init=False)
+    fusion: FusionNet = dfield(init=False)
+
+    def __post_init__(self):
+        c = self.cfg
+        kw = dict(depth=c.depth, width=c.width, skips=c.skips,
+                  in_channels_xyz=c.xyz_embed.out_dim,
+                  in_channels_dir=c.dir_embed.out_dim,
+                  feature_dim=c.feature_dim, dtype=c.dtype)
+        object.__setattr__(self, "coarse", NeRFHNFF(typ="coarse", **kw))
+        object.__setattr__(self, "fine", NeRFHNFF(typ="fine", **kw))
+        object.__setattr__(self, "exposure", ExposureMLP(dtype=c.dtype))
+        object.__setattr__(self, "fusion",
+                           FusionNet(feature_dim=c.feature_dim,
+                                     residual=c.fusion_residual,
+                                     no_bn=c.fusion_no_bn, dtype=c.dtype))
+
+    def init_variables(self, rng: jax.Array) -> dict:
+        c = self.cfg
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        xe = jnp.zeros((1, c.xyz_embed.out_dim))
+        de = jnp.zeros((1, c.dir_embed.out_dim))
+        fusion_vars = self.fusion.init(
+            k4, jnp.zeros((1, 8, 8, 3 + c.feature_dim)))
+        variables = {
+            "params": {
+                "coarse": self.coarse.init(k1, xe, de)["params"],
+                "fine": self.fine.init(k2, xe, de)["params"],
+                "exposure": self.exposure.init(
+                    k3, jnp.zeros((1, c.hist_bin)))["params"],
+                "fusion": fusion_vars["params"],
+            },
+        }
+        if "batch_stats" in fusion_vars:
+            variables["batch_stats"] = {
+                "fusion": fusion_vars["batch_stats"]}
+        return variables
+
+    # --- functional application helpers (all pure) ---
+
+    def coarse_fn(self, params, xyz_emb, dir_emb=None, sigma_only=False,
+                  output_transient=False):
+        return self.coarse.apply({"params": params["coarse"]}, xyz_emb,
+                                 dir_emb, sigma_only, output_transient)
+
+    def fine_fn(self, params, xyz_emb, dir_emb=None, sigma_only=False,
+                output_transient=True):
+        return self.fine.apply({"params": params["fine"]}, xyz_emb, dir_emb,
+                               sigma_only, output_transient)
+
+    def apply_exposure(self, params, hist: jnp.ndarray,
+                       rgb: jnp.ndarray) -> jnp.ndarray:
+        """hist (B, bins), rgb (B, N, 3) raw -> exposure-corrected sigmoid
+        rgb (the reference's affine_color_transform path)."""
+        emb = self.exposure.apply({"params": params["exposure"]}, hist)
+        return affine_color_transform(emb, rgb)
+
+    def apply_fusion(self, variables, rgb_img: jnp.ndarray,
+                     feat_img: jnp.ndarray, train: bool = False):
+        """rgb_img (B, H, W, 3), feat_img (B, H, W, F) -> fused features.
+        Returns (out, new_batch_stats|None)."""
+        v = {"params": variables["params"]["fusion"]}
+        has_bn = "batch_stats" in variables
+        if has_bn:
+            v["batch_stats"] = variables["batch_stats"]["fusion"]
+        x = jnp.concatenate([rgb_img, feat_img], axis=-1)
+        if train and has_bn:
+            out, mut = self.fusion.apply(v, x, train=True,
+                                         mutable=["batch_stats"])
+            return out, mut["batch_stats"]
+        return self.fusion.apply(v, x, train=False), None

@@ -1,0 +1,216 @@
+"""Jitted NeFeS training steps + the 3-stage progressive schedule.
+
+Reference: script/run_nefes.py. The torch trainer's per-batch python work
+(ray gathering with list comprehensions, host loops, global default-device
+flips, GradScaler) collapses into two compiled programs:
+
+  * ``train_step_rays``  — stages 0/1: B×N_rand random rays per step
+    (run_nefes.py:42-76 + 210-256)
+  * ``train_step_patch`` — stage 2 (fusion): 7 random 16×16 patches per
+    image so the fusion CNN sees 2-D neighborhoods (run_nefes.py:78-108 +
+    150-243)
+
+Both take the learning rate as a traced argument (the reference recomputes
+the exp-decayed LR every step, run_nefes.py:265-271). No GradScaler: TPU
+bf16 needs no loss scaling.
+
+Stage semantics (run_nefes.py:34-40):
+  schedule 1 (stage-1 run):   stage 0 (color only) for all epochs
+  schedule 2 (stage-2/3 run): stage 1 (color+feat) until epoch 200, then
+                              stage 2 (color+feat+fusion, patch sampling)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from nefes_tpu.geometry.rays import get_ray_at
+from nefes_tpu.render.renderer import RenderConfig, render_rays
+from nefes_tpu.train.losses import nefes_training_loss, psnr
+from nefes_tpu.train.model import NeFeSModel
+
+EPOCH_TO_FUSION = 200   # run_nefes.py:37
+NUM_CROPS = 7           # run_nefes.py:87
+CROP_SIZE = 16          # run_nefes.py:88
+
+
+def stage_for_epoch(new_schedule: int, epoch: int) -> int:
+    if new_schedule != 2:
+        return 0
+    return 1 if epoch < EPOCH_TO_FUSION else 2
+
+
+def lr_for_epoch(epoch: int, lrate: float = 5e-4,
+                 lrate_decay: float = 0.754) -> float:
+    """lrate · 0.1^(epoch / (lrate_decay·1000)) — run_nefes.py:265-271."""
+    return lrate * (0.1 ** (epoch / (lrate_decay * 1000.0)))
+
+
+class TrainState(struct.PyTreeNode):
+    variables: Any            # {'params': ..., 'batch_stats': ...}
+    opt_state: Any
+    epoch: jnp.ndarray
+
+    @property
+    def params(self):
+        return self.variables["params"]
+
+
+def make_optimizer() -> optax.GradientTransformation:
+    """Adam(β=0.9, 0.999) with injectable LR (nerfh_nff.py:682)."""
+    return optax.inject_hyperparams(optax.adam)(learning_rate=5e-4)
+
+
+def create_train_state(model: NeFeSModel, rng: jax.Array,
+                       tx: optax.GradientTransformation | None = None) -> TrainState:
+    variables = model.init_variables(rng)
+    tx = tx or make_optimizer()
+    return TrainState(variables=variables,
+                      opt_state=tx.init(variables["params"]),
+                      epoch=jnp.zeros((), jnp.int32))
+
+
+def _select_ray_pixels(rng: jax.Array, n_rand: int, H: int, W: int,
+                       mask: jnp.ndarray | None):
+    """Pick n_rand pixel coords, optionally restricted to mask>0.
+
+    Gumbel top-k = exact uniform sampling without replacement under a
+    validity mask with static shapes (replaces the ragged
+    np.random.choice(valid_inds) of run_nefes.py:51-61)."""
+    g = jax.random.gumbel(rng, (H * W,))
+    if mask is not None:
+        g = g + jnp.where(mask.reshape(-1) > 0, 0.0, -1e9)
+    _, idx = jax.lax.top_k(g, n_rand)
+    py, px = idx // W, idx % W
+    return px.astype(jnp.float32), py.astype(jnp.float32), idx
+
+
+def _render_selected(model: NeFeSModel, params, poses, px, py, hists,
+                     H, W, focal, near, far, rng, cfg: RenderConfig):
+    """Render rays at per-image pixel coords. px/py: (B, N). Returns the
+    train render dict with (B, N, ...) leaves."""
+    def one(pose, pxi, pyi, key):
+        ro, rd = get_ray_at(pxi, pyi, focal, H, W, pose)
+        return render_rays(model.coarse_fn, model.fine_fn, params, params,
+                           ro, rd, near, far, key, cfg)
+    keys = jax.random.split(rng, poses.shape[0])
+    return jax.vmap(one)(poses, px, py, keys)
+
+
+def _finalize_rgb(model: NeFeSModel, params, out: dict, hists):
+    """Exposure-correct the fine rgb (run_nefes.py:153-155, 215-217)."""
+    out = dict(out)
+    out["rgb"] = model.apply_exposure(params, hists, out["rgb"])
+    return out
+
+
+@partial(jax.jit, static_argnames=("model", "cfg", "tx", "n_rand", "stage",
+                                   "hwf"))
+def train_step_rays(model: NeFeSModel, cfg: RenderConfig,
+                    tx: optax.GradientTransformation,
+                    state: TrainState, batch: dict, rng: jax.Array,
+                    lr: jnp.ndarray, hwf: tuple, near: float, far: float,
+                    n_rand: int = 1536, stage: int = 0):
+    """One random-ray step. batch: rgb (B,H,W,3) [render-scale], poses
+    (B,3,4), hists (B,bins), feat (B,H,W,F) when stage>=1, mask optional."""
+    H, W, focal = hwf
+    B = batch["poses"].shape[0]
+    rng_sel, rng_render = jax.random.split(rng)
+    sel_keys = jax.random.split(rng_sel, B)
+    mask = batch.get("mask")
+    px, py, idx = jax.vmap(
+        lambda k, m: _select_ray_pixels(k, n_rand, H, W, m)
+    )(sel_keys, mask if mask is not None else jnp.ones((B, H, W)))
+
+    gather = lambda imgs: jax.vmap(
+        lambda img, i: img.reshape(H * W, -1)[i])(imgs, idx)
+    target_rgb = gather(batch["rgb"])
+    target_feat = gather(batch["feat"]) if stage >= 1 else None
+
+    def loss_fn(params):
+        out = _render_selected(model, params, batch["poses"], px, py,
+                               batch["hists"], H, W, focal, near, far,
+                               rng_render, cfg)
+        out = _finalize_rgb(model, params, out, batch["hists"])
+        loss, aux = nefes_training_loss(out, target_rgb, target_feat,
+                                        fusion_out=None,
+                                        stage=min(stage, 1))
+        aux["psnr"] = psnr(out["rgb"], target_rgb)
+        return loss, aux
+
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params)
+    new_opt = state.opt_state
+    new_opt.hyperparams["learning_rate"] = lr
+    updates, new_opt = tx.update(grads, new_opt, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_vars = dict(state.variables)
+    new_vars["params"] = new_params
+    return state.replace(variables=new_vars, opt_state=new_opt), loss, aux
+
+
+@partial(jax.jit, static_argnames=("model", "cfg", "tx", "stage", "hwf"))
+def train_step_patch(model: NeFeSModel, cfg: RenderConfig,
+                     tx: optax.GradientTransformation,
+                     state: TrainState, batch: dict, rng: jax.Array,
+                     lr: jnp.ndarray, hwf: tuple, near: float, far: float,
+                     stage: int = 2):
+    """Stage-2 step: NUM_CROPS random CROP_SIZE² patches (same coordinates
+    for every image in the batch, as the reference does at
+    run_nefes.py:85-94), rendered and pushed through the fusion CNN."""
+    H, W, focal = hwf
+    B = batch["poses"].shape[0]
+    rng_h, rng_w, rng_render = jax.random.split(rng, 3)
+    h0 = jax.random.randint(rng_h, (NUM_CROPS,), 0, H - CROP_SIZE)
+    w0 = jax.random.randint(rng_w, (NUM_CROPS,), 0, W - CROP_SIZE)
+    dy, dx = jnp.meshgrid(jnp.arange(CROP_SIZE), jnp.arange(CROP_SIZE),
+                          indexing="ij")
+    py = (h0[:, None, None] + dy).reshape(-1)      # (7*16*16,)
+    px = (w0[:, None, None] + dx).reshape(-1)
+    idx = (py * W + px)
+    pxf = jnp.broadcast_to(px.astype(jnp.float32), (B, px.shape[0]))
+    pyf = jnp.broadcast_to(py.astype(jnp.float32), (B, py.shape[0]))
+
+    gather = lambda imgs: jax.vmap(
+        lambda img: img.reshape(H * W, -1)[idx])(imgs)
+    target_rgb = gather(batch["rgb"])
+    target_feat = gather(batch["feat"])
+
+    def loss_fn(variables):
+        params = variables["params"]
+        out = _render_selected(model, params, batch["poses"], pxf, pyf,
+                               batch["hists"], H, W, focal, near, far,
+                               rng_render, cfg)
+        out = _finalize_rgb(model, params, out, batch["hists"])
+        # reshape rays -> (B*crops, 16, 16, C) patch images for the CNN
+        as_img = lambda x: x.reshape(B * NUM_CROPS, CROP_SIZE, CROP_SIZE,
+                                     x.shape[-1])
+        fusion_out, new_bs = model.apply_fusion(
+            {**variables, "params": params},
+            as_img(out["rgb"]), as_img(out["feat"]), train=True)
+        fusion_flat = fusion_out.reshape(B, NUM_CROPS * CROP_SIZE * CROP_SIZE,
+                                         -1)
+        loss, aux = nefes_training_loss(out, target_rgb, target_feat,
+                                        fusion_out=fusion_flat, stage=2)
+        aux["psnr"] = psnr(out["rgb"], target_rgb)
+        return loss, (aux, new_bs)
+
+    (loss, (aux, new_bs)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.variables)
+    grads = grads["params"]
+    new_opt = state.opt_state
+    new_opt.hyperparams["learning_rate"] = lr
+    updates, new_opt = tx.update(grads, new_opt, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_vars = dict(state.variables)
+    new_vars["params"] = new_params
+    if new_bs is not None:
+        new_vars["batch_stats"] = {"fusion": new_bs}
+    return state.replace(variables=new_vars, opt_state=new_opt), loss, aux
