@@ -39,9 +39,11 @@ def blob_field(params, xyz_emb, dir_emb=None, sigma_only=False,
     w = occ / jnp.clip(occ.sum(-1, keepdims=True), 1e-6)
     rgb = (w[..., None] * blobs[:, 4:7]).sum(-2)
     out["static_rgb"] = rgb
-    # synthetic "feature": 8-D positional signature of the surface
+    # synthetic "feature": 8-D positional signature with both smooth and
+    # high-frequency components (the sharper bands give DFM refinement a
+    # usable translation basin in tests)
     out["static_feat"] = jnp.concatenate(
-        [jnp.sin(xyz * 3.0), jnp.cos(xyz * 3.0),
+        [jnp.sin(xyz * 3.0), jnp.sin(xyz * 9.0 + 0.5),
          occ.max(-1, keepdims=True), d.min(-1, keepdims=True)], axis=-1)
     return out
 

@@ -105,7 +105,9 @@ class DFNet(nn.Module):
                     a = resize_bilinear(a, upsample_hw[0], upsample_hw[1],
                                         align_corners=True)
                 ups.append(a)
-            features = jnp.stack(ups)          # (3, B, H', W', C)
+            # stack only when levels share a size (i.e. upsampled);
+            # otherwise return the per-level list (siamese/raw use)
+            features = jnp.stack(ups) if upsample_hw is not None else ups
 
         pose = None
         if return_pose:

@@ -1,0 +1,132 @@
+"""Mode-2 refinement: APR-weight optimisation (the paper's headline
+DFNet+NeFeS50 configuration).
+
+Reference: script/dm/DFM_APR_refine.py. Per test image the torch code
+deepcopies the APR and runs 50 python iterations of render->loss->step
+(train_on_batch, :84-156); here the deepcopy is just *reusing the initial
+param pytree* and the 50 iterations are one ``lax.scan`` (compiled once,
+launched once per frame).
+
+Per iteration (train_on_batch parity):
+  pose = APR(query image)  [optionally SVD-orthogonalised]
+  -> fix_coord_supp world rescale
+  -> render H/tinyscale -> exposure affine -> FusionNet
+  -> bicubic-upsample fused features AND rgb to full res
+  -> crop 10-px border (compensates CNN zero padding, :122-126)
+  -> per-channel cosine feature loss -> Adam(1e-5) step on APR weights
+  + PSNR/SSIM of (upsampled rgb, query) recorded for the verification
+    fail-safe (:226-250).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nefes_tpu.features.dfnet import DFNet
+from nefes_tpu.geometry.se3 import orthogonalize_rotation
+from nefes_tpu.refine.losses import feature_cosine_loss
+from nefes_tpu.refine.pose_opt import RefineConfig, render_feature_image
+from nefes_tpu.render.renderer import RenderConfig
+from nefes_tpu.train.losses import psnr as psnr_fn
+from nefes_tpu.train.model import NeFeSModel
+from nefes_tpu.utils.image import resize_bicubic
+from nefes_tpu.utils.ssim import ssim
+
+CROP = 10  # border crop (DFM_APR_refine.py:122-126)
+
+
+def _crop(img):
+    return img[CROP:-CROP, CROP:-CROP]
+
+
+def apr_pose(dfnet: DFNet, dfnet_vars, image: jnp.ndarray,
+             svd_reg: bool = True) -> jnp.ndarray:
+    """APR forward: (H, W, 3) image -> (3, 4) pose
+    (inference_pose_regression, DFM_pose_refine.py:132-161)."""
+    _, pose12 = dfnet.apply(dfnet_vars, image[None], return_feature=False,
+                            return_pose=True)
+    pose = pose12.reshape(3, 4)
+    return orthogonalize_rotation(pose) if svd_reg else pose
+
+
+@partial(jax.jit, static_argnames=("model", "dfnet", "cfg", "rcfg",
+                                   "hwf_render", "hwf_full", "svd_reg"))
+def refine_apr_single(model: NeFeSModel, variables, dfnet: DFNet,
+                      dfnet_vars, image: jnp.ndarray,
+                      target_feat: jnp.ndarray, hist: jnp.ndarray,
+                      ws_vec: jnp.ndarray, hwf_render: tuple,
+                      hwf_full: tuple, near: float, far: float,
+                      cfg: RenderConfig, rcfg: RefineConfig,
+                      svd_reg: bool = True):
+    """Refine the APR on ONE query image.
+
+    image: (H, W, 3); target_feat: (H, W, C) full-res DFNet features
+    (extracted once outside, DFM_APR_refine.py:216-221).
+
+    Returns dict with refined/initial poses (dataset frame), per-iter
+    losses, and the verification metrics (init/end psnr+ssim).
+    """
+    H, W, _ = hwf_full
+    tx = optax.adam(rcfg.learning_rate)
+    apr_params0 = dfnet_vars["params"]
+    bn_stats = dfnet_vars.get("batch_stats")
+
+    tgt_crop = _crop(target_feat)
+    img_crop = _crop(image)
+
+    def forward(apr_params):
+        dv = {"params": apr_params}
+        if bn_stats is not None:
+            dv["batch_stats"] = bn_stats
+        pose = apr_pose(dfnet, dv, image, svd_reg)
+        sc, sc2, move = ws_vec[0], ws_vec[1], ws_vec[2:5]
+        t = (pose[:3, 3] * sc + move) * sc2
+        nerf_pose = jnp.concatenate([pose[:3, :3], t[:, None]], -1)
+        rgb_img, fused = render_feature_image(model, variables, nerf_pose,
+                                              hist, hwf_render, near, far,
+                                              cfg)
+        fused_up = resize_bicubic(fused[None], H, W)[0]
+        rgb_up = resize_bicubic(rgb_img[None], H, W)[0]
+        loss = feature_cosine_loss(_crop(fused_up), tgt_crop,
+                                   per_pixel=rcfg.per_pixel)
+        return loss, (rgb_up, pose)
+
+    def step(carry, _):
+        apr_params, opt_state = carry
+        (loss, (rgb_up, _)), grads = jax.value_and_grad(
+            forward, has_aux=True)(apr_params)
+        p = psnr_fn(_crop(rgb_up), img_crop)
+        s = ssim(_crop(rgb_up)[None], img_crop[None]).mean()
+        updates, opt_state = tx.update(grads, opt_state, apr_params)
+        apr_params = optax.apply_updates(apr_params, updates)
+        return (apr_params, opt_state), (loss, p, s)
+
+    (apr_final, _), (losses, psnrs, ssims) = jax.lax.scan(
+        step, (apr_params0, tx.init(apr_params0)), None,
+        length=rcfg.opt_iter)
+
+    dv_final = {"params": apr_final}
+    if bn_stats is not None:
+        dv_final["batch_stats"] = bn_stats
+    refined_pose = apr_pose(dfnet, dv_final, image, svd_reg)
+    initial_pose = apr_pose(dfnet, dfnet_vars, image, svd_reg)
+
+    return {
+        "refined_pose": refined_pose,
+        "initial_pose": initial_pose,
+        "losses": losses,
+        "init_psnr": psnrs[0], "end_psnr": psnrs[-1],
+        "init_ssim": ssims[0], "end_ssim": ssims[-1],
+    }
+
+
+def apply_verification(result: dict) -> jnp.ndarray:
+    """The verification fail-safe (DFM_APR_refine.py:242-250): retreat to
+    the initial pose if rendered-RGB PSNR or SSIM degraded over the run."""
+    retreat = jnp.logical_or(result["end_psnr"] < result["init_psnr"],
+                             result["end_ssim"] < result["init_ssim"])
+    return jnp.where(retreat, result["initial_pose"], result["refined_pose"])
