@@ -55,10 +55,18 @@ def _load_images(paths: list[str], df: float, H: int, W: int) -> np.ndarray:
 
 def quat_poses_to_w2c(qtf: np.ndarray) -> np.ndarray:
     """(N, 7) [qw qx qy qz tx ty tz] -> (N, 3, 4) w2c matrices
-    (seven_scenes_colmap.py:55-79, transforms3d quat2mat convention)."""
-    from nefes_tpu.geometry.se3 import quat_to_rotmat
-    import jax.numpy as jnp
-    R = np.asarray(quat_to_rotmat(jnp.asarray(qtf[:, :4], dtype=jnp.float64)))
+    (seven_scenes_colmap.py:55-79, transforms3d quat2mat convention).
+    Pure float64 numpy — pose ingestion wants full precision."""
+    q = qtf[:, :4] / np.linalg.norm(qtf[:, :4], axis=-1, keepdims=True)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    R = np.stack([
+        np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                  2 * (x * z + w * y)], -1),
+        np.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                  2 * (y * z - w * x)], -1),
+        np.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                  1 - 2 * (x * x + y * y)], -1),
+    ], axis=1)
     out = np.zeros((len(qtf), 3, 4))
     out[:, :3, :3] = R
     out[:, :3, 3] = qtf[:, 4:7]
@@ -96,7 +104,11 @@ def load_7scenes_colmap(scene: str, deepslam_root: str, data_root: str,
     focal = float(qtf[0, -1])
 
     w2c = quat_poses_to_w2c(qtf[:, :7])
-    poses = fix_coord_7scenes_colmap(w2c, pose_avg, ws).astype(np.float32)
+    # the colmap loader does NOT rescale in fix_coord (rescale_coord=False,
+    # load_7Scenes_colmap.py:56) — the world rescale is applied to APR
+    # poses at refinement time via fix_coord_supp instead
+    poses = fix_coord_7scenes_colmap(w2c, pose_avg, ws,
+                                     rescale=False).astype(np.float32)
 
     H, W = DEFAULT_HWF[0], DEFAULT_HWF[1]
     if df != 1.0:

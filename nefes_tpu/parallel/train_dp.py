@@ -1,0 +1,57 @@
+"""Sharded training + rendering: the multi-chip execution paths.
+
+Strategy (SURVEY.md §2.10 TPU mapping): replicate params, shard the batch
+axis over "data" and the ray axis over "rays"; XLA inserts the gradient
+all-reduce (psum over both axes) at the loss — data-parallel NeRF training
+with zero hand-written collectives. Rendering shards rays of a single
+image across the whole mesh (the ray axis is the scene's "sequence" axis).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nefes_tpu.render.renderer import RenderConfig, render_rays
+from nefes_tpu.train.model import NeFeSModel
+from nefes_tpu.train.trainer import TrainState, train_step_rays
+from nefes_tpu.parallel.mesh import batch_sharding, replicated
+
+
+def make_sharded_train_step(model: NeFeSModel, cfg: RenderConfig, tx,
+                            mesh: Mesh, hwf: tuple, near: float, far: float,
+                            n_rand: int = 1536, stage: int = 0):
+    """Wrap train_step_rays with mesh shardings: state replicated, batch
+    sharded over "data". Returns step(state, batch, rng, lr)."""
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+
+    def step(state: TrainState, batch: dict, rng: jax.Array, lr):
+        return train_step_rays(model, cfg, tx, state, batch, rng, lr,
+                               hwf, near, far, n_rand=n_rand, stage=stage)
+
+    return jax.jit(step,
+                   in_shardings=(rep, bsh, rep, rep),
+                   out_shardings=(rep, rep, rep))
+
+
+def render_rays_sharded(model: NeFeSModel, params, rays_o, rays_d,
+                        near, far, cfg: RenderConfig, mesh: Mesh):
+    """Render one image's rays sharded across ALL devices of the mesh
+    (flattened (R, 3) rays split over data×rays). R must divide evenly;
+    callers pad (render_image_sharded handles it)."""
+    spec = NamedSharding(mesh, P(("data", "rays")))
+    rep = replicated(mesh)
+    rays_o = jax.device_put(rays_o, spec)
+    rays_d = jax.device_put(rays_d, spec)
+    params = jax.device_put(params, rep)
+
+    @partial(jax.jit, out_shardings=spec)
+    def go(params, ro, rd):
+        return render_rays(model.coarse_fn, model.fine_fn, params, params,
+                           ro, rd, near, far, None, cfg)["rgb"]
+
+    return go(params, rays_o, rays_d)

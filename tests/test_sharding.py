@@ -1,0 +1,89 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md §7 step 9 gate: multi-chip == single-chip numerics)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nefes_tpu.data.synthetic import make_synthetic_scene
+from nefes_tpu.parallel import (
+    make_mesh, make_sharded_train_step, render_rays_sharded, shard_batch,
+    replicate,
+)
+from nefes_tpu.train import (
+    ModelConfig, NeFeSModel, create_train_state, make_optimizer,
+    train_step_rays,
+)
+
+
+@pytest.fixture(scope="module")
+def world():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    scene = make_synthetic_scene(n_views=8, H=16, W=16)
+    cfg = ModelConfig.tiny()
+    model = NeFeSModel(cfg)
+    tx = make_optimizer()
+    state = create_train_state(model, jax.random.key(0), tx)
+    rcfg = cfg.render_config(n_samples=16, n_importance=16)
+    return scene, model, tx, state, rcfg
+
+
+def _batch(scene, n):
+    return {"rgb": jnp.asarray(scene.images[:n]),
+            "poses": jnp.asarray(scene.poses[:n]),
+            "hists": jnp.asarray(scene.hists[:n])}
+
+
+def test_dp_train_step_matches_single_device(world):
+    scene, model, tx, state, rcfg = world
+    hwf = (scene.H, scene.W, float(scene.focal))
+    batch = _batch(scene, 8)
+    rng = jax.random.key(5)
+    lr = jnp.asarray(1e-3)
+
+    # single-device reference
+    s1, loss1, _ = train_step_rays(model, rcfg, tx, state, batch, rng, lr,
+                                   hwf, scene.near, scene.far,
+                                   n_rand=64, stage=0)
+
+    mesh = make_mesh(data=8, rays=1)
+    step = make_sharded_train_step(model, rcfg, tx, mesh, hwf,
+                                   scene.near, scene.far, n_rand=64, stage=0)
+    s2, loss2, _ = step(replicate(mesh, state), shard_batch(mesh, batch),
+                        rng, lr)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dp_2x4_mesh(world):
+    scene, model, tx, state, rcfg = world
+    hwf = (scene.H, scene.W, float(scene.focal))
+    mesh = make_mesh(data=2, rays=4)
+    step = make_sharded_train_step(model, rcfg, tx, mesh, hwf,
+                                   scene.near, scene.far, n_rand=64, stage=0)
+    s, loss, _ = step(replicate(mesh, state),
+                      shard_batch(mesh, _batch(scene, 8)),
+                      jax.random.key(6), jnp.asarray(1e-3))
+    assert np.isfinite(float(loss))
+
+
+def test_ray_sharded_render_matches_local(world):
+    scene, model, tx, state, rcfg = world
+    from nefes_tpu.geometry import get_rays
+    from nefes_tpu.render import render_rays
+    c2w = jnp.asarray(scene.poses[0])
+    ro, rd = get_rays(16, 16, float(scene.focal), c2w)
+    ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
+    tcfg = rcfg.test()
+
+    local = render_rays(model.coarse_fn, model.fine_fn, state.params,
+                        state.params, ro, rd, scene.near, scene.far,
+                        None, tcfg)["rgb"]
+    mesh = make_mesh(data=4, rays=2)
+    sharded = render_rays_sharded(model, state.params, ro, rd,
+                                  scene.near, scene.far, tcfg, mesh)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(local),
+                               atol=2e-5)
