@@ -58,17 +58,22 @@ def main():
                                      NEAR, FAR, rcfg_render)
     target = jax.lax.stop_gradient(target)
 
-    run = lambda: refine_pose_single(model, variables, pose, target, hist,
-                                     ws_vec, hwf, NEAR, FAR, rcfg_render,
-                                     rcfg)
+    def run(p):
+        return refine_pose_single(model, variables, p, target, hist,
+                                  ws_vec, hwf, NEAR, FAR, rcfg_render, rcfg)
+
     # warmup/compile
-    refined, losses = run()
-    jax.block_until_ready(refined)
+    refined, losses = run(pose)
+    jax.block_until_ready((refined, losses))
+    float(losses[-1])  # force full host sync (block_until_ready alone has
+    # proven unreliable on the experimental remote-TPU platform)
 
     t0 = time.perf_counter()
-    for _ in range(FRAMES_TO_TIME):
-        refined, losses = run()
-    jax.block_until_ready(refined)
+    acc = 0.0
+    for i in range(FRAMES_TO_TIME):
+        # vary the input each frame so no caching layer can elide work
+        refined, losses = run(pose + 1e-4 * (i + 1))
+        acc += float(losses[-1])  # device->host transfer = hard sync
     dt = (time.perf_counter() - t0) / FRAMES_TO_TIME
 
     rays_per_sec = H * W * OPT_ITER / dt

@@ -1,0 +1,191 @@
+"""Config system: typed options dataclasses + reference-format config files.
+
+Replaces the reference's two overlapping configargparse parsers
+(script/models/options.py, script/dm/options.py — which must be kept
+consistent by hand, SURVEY.md §5) with ONE dataclass covering both, plus a
+reader for the reference's per-scene ``key=value`` config txts
+(script/config/**) so existing scene configs work unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+from dataclasses import dataclass, field, fields
+from pathlib import Path
+from typing import Any
+
+
+@dataclass
+class Options:
+    """Union of the training parser (models/options.py) and refinement
+    parser (dm/options.py) flags that are meaningful in this framework.
+    Defaults match the reference."""
+
+    # experiment / paths
+    config: str | None = None
+    expname: str = "exp"
+    basedir: str = "logs"
+    datadir: str = "data/deepslam_data/7Scenes/chess"
+    dataset_type: str = "7Scenes_colmap"   # 7Scenes | 7Scenes_colmap | Cambridge
+    data_root: str = "data"                # root holding world_setup dirs
+
+    # data loading
+    trainskip: int = 1
+    testskip: int = 1
+    df: float = 2.0
+    load_pose_avg_stats: bool = True
+    semantic: bool = False
+
+    # field architecture (options.py:30-48)
+    netdepth: int = 8
+    netwidth: int = 128
+    feature_dim: int = 128
+    use_fusion_res: bool = False
+    no_fusion_BN: bool = False
+
+    # embedding
+    multires: int = 10
+    multires_views: int = 4
+    reduce_embedding: int = -1
+
+    # rendering (options.py:94-106)
+    N_samples: int = 64
+    N_importance: int = 64
+    perturb: float = 1.0
+    raw_noise_std: float = 0.0
+    use_fine_only: bool = False
+    tinyscale: float = 4.0
+
+    # NeRF-W (options.py:65-84)
+    NeRFW: bool = True
+    encode_hist: bool = True
+    hist_bin: int = 10
+    transient_at_test: bool = False
+
+    # training (options.py:33-40,123)
+    N_rand: int = 1536
+    lrate: float = 5e-4
+    lrate_decay: float = 0.754
+    batch_size: int = 4
+    val_batch_size: int = 1
+    epochs: int = 600
+    new_schedule: int = 1
+    i_weights: int = 200
+    i_testset: int = 200
+    i_print: int = 10
+    no_reload: bool = False
+    ft_path: str | None = None
+    no_grad_update: bool = False
+    set_near_far: bool = False
+    near_far: tuple = (0.5, 2.5)
+
+    # losses (options.py:74-77)
+    color_loss_only: bool = False
+    color_feat_loss: bool = False
+    color_feat_fusion_loss: bool = False
+    color_feat_fusion_nerfw_loss: bool = False
+
+    # APR / refinement (dm/options.py)
+    pose_only: int = 0
+    learning_rate: float = 1e-5
+    PoseEstimatorType: str = "DFNet"
+    pretrain_model_path: str = ""
+    pretrain_featurenet_path: str = ""
+    lr_r: float = 0.01
+    lr_t: float = 0.1
+    opt_iter: int = 50
+    no_verification_step: bool = False
+    per_pixel: bool = False
+    svd_reg: bool = False
+    freezeBN: bool = False
+    feature_matching_lvl: tuple = (0,)
+    dfnet: bool = False
+
+    # eval / render
+    render_test: bool = False
+    eval: bool = False
+
+    def render_hw(self, H: int, W: int) -> tuple[int, int]:
+        return int(H // self.tinyscale), int(W // self.tinyscale)
+
+
+_BOOL_TRUE = {"true", "1", "yes"}
+_BOOL_FALSE = {"false", "0", "no"}
+
+
+def _parse_value(raw: str, current: Any) -> Any:
+    raw = raw.strip()
+    if isinstance(current, bool):
+        low = raw.lower()
+        if low in _BOOL_TRUE:
+            return True
+        if low in _BOOL_FALSE:
+            return False
+        raise ValueError(f"bad bool {raw!r}")
+    if isinstance(current, int) and not isinstance(current, bool):
+        return int(float(raw))
+    if isinstance(current, float):
+        return float(raw)
+    if isinstance(current, tuple):
+        parts = raw.replace("[", "").replace("]", "").replace(",", " ").split()
+        return tuple(type(current[0])(p) for p in parts) if current \
+            else tuple(parts)
+    if raw.lower() == "none":
+        return None
+    return raw
+
+
+def read_config_file(path: str | Path) -> dict[str, str]:
+    """Parse a reference-style config txt (``key = value`` lines, ``#``
+    comments — configargparse's default format)."""
+    out = {}
+    for line in Path(path).read_text().splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line or "=" not in line:
+            continue
+        k, v = line.split("=", 1)
+        out[k.strip()] = v.strip()
+    return out
+
+
+def load_options(config_path: str | Path | None = None,
+                 overrides: dict | None = None) -> Options:
+    """Build Options from (defaults <- config file <- overrides)."""
+    opts = Options()
+    known = {f.name: f for f in fields(Options)}
+    merged: dict[str, str | Any] = {}
+    if config_path:
+        merged.update(read_config_file(config_path))
+    if overrides:
+        merged.update(overrides)
+    unknown = []
+    for k, v in merged.items():
+        if k not in known:
+            unknown.append(k)
+            continue
+        cur = getattr(opts, k)
+        setattr(opts, k, _parse_value(v, cur) if isinstance(v, str) else v)
+    if unknown:
+        # reference configs carry legacy flags we deliberately don't model;
+        # surface rather than crash
+        print(f"[options] ignoring unknown keys: {sorted(unknown)}")
+    return opts
+
+
+def options_argparser() -> argparse.ArgumentParser:
+    """CLI parser exposing every Options field as --flag."""
+    p = argparse.ArgumentParser()
+    for f in fields(Options):
+        name = f"--{f.name}"
+        default = None  # only explicit CLI values override config files
+        if isinstance(f.default, bool):
+            p.add_argument(name, default=default, type=str)
+        else:
+            p.add_argument(name, default=default, type=str)
+    return p
+
+
+def options_from_cli(argv=None) -> Options:
+    ns = vars(options_argparser().parse_args(argv))
+    overrides = {k: v for k, v in ns.items() if v is not None}
+    return load_options(overrides.pop("config", None), overrides)

@@ -1,0 +1,155 @@
+"""Refinement CLI — the test_refinement.py equivalent.
+
+  python -m nefes_tpu.cli.refine --config <scene_DFM.txt> --pose_only {2,3}
+
+pose_only=2: APR-weight refinement (paper headline, DFM_APR_refine.py)
+pose_only=3: explicit SE(3)-delta refinement (DFM_pose_refine.py)
+
+Writes the refined poses in the reference txt format
+(<PoseEstimatorType>_<scene>_NeFeS<iters>_APR_pose_results.txt) so
+nefes_tpu.cli.evaluate / the reference's eval.py both consume them.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    from nefes_tpu.cli.options import options_from_cli
+    from nefes_tpu.cli.train import build_model, build_scene
+    opts = options_from_cli(argv)
+    assert opts.pose_only in (2, 3), "refinement needs --pose_only 2|3"
+
+    import jax
+    import jax.numpy as jnp
+    from nefes_tpu.evaluation import pose_errors, summarize, save_pose_txt
+    from nefes_tpu.features.convert import (
+        convert_dfnet, convert_nefes_checkpoint, load_torch_state_dict,
+    )
+    from nefes_tpu.features.dfnet import DFNet, extract_target_features
+    from nefes_tpu.refine import (
+        RefineConfig, apply_verification, apr_pose, refine_apr_single,
+        refine_poses_batch,
+    )
+    from nefes_tpu.train import create_train_state, make_optimizer
+
+    scene_name = os.path.basename(opts.datadir.rstrip("/"))
+    test = build_scene(opts, train=False)
+    cfg, model = build_model(opts)
+
+    # field weights: converted reference .tar or our orbax ckpt
+    if opts.ft_path and opts.ft_path.endswith(".tar"):
+        variables = convert_nefes_checkpoint(opts.ft_path, depth=opts.netdepth)
+    elif opts.ft_path:
+        from nefes_tpu.train import restore_checkpoint
+        tx = make_optimizer()
+        state = restore_checkpoint(opts.ft_path,
+                                   create_train_state(model,
+                                                      jax.random.key(0), tx))
+        variables = state.variables
+    else:
+        print("WARNING: no ft_path — random field (smoke mode)")
+        variables = model.init_variables(jax.random.key(0))
+
+    dfnet = DFNet(output_dim=opts.feature_dim)
+    if opts.pretrain_featurenet_path:
+        dfvars = convert_dfnet(
+            load_torch_state_dict(opts.pretrain_featurenet_path))
+    elif opts.pretrain_model_path:
+        dfvars = convert_dfnet(
+            load_torch_state_dict(opts.pretrain_model_path))
+    else:
+        print("WARNING: random DFNet (smoke mode)")
+        dfvars = dfnet.init(jax.random.key(1),
+                            jnp.zeros((1, test.H, test.W, 3)),
+                            upsample_hw=(test.H, test.W))
+
+    h, w = opts.render_hw(test.H, test.W)
+    hwf_render = (h, w, float(test.focal) / opts.tinyscale)
+    near, far = test.near, test.far
+    if opts.set_near_far:
+        near, far = opts.near_far
+    rcfg_render = cfg.render_config(
+        n_samples=opts.N_samples, n_importance=opts.N_importance,
+        perturb=False, test_time=True, output_transient=False)
+    rcfg = RefineConfig(opt_iter=opts.opt_iter, lr_r=opts.lr_r,
+                        lr_t=opts.lr_t, tinyscale=opts.tinyscale,
+                        per_pixel=opts.per_pixel,
+                        learning_rate=opts.learning_rate)
+    ws = test.world
+    ws_vec = jnp.asarray([ws.pose_scale, ws.pose_scale2,
+                          *ws.move_all_cam_vec], jnp.float32)
+
+    n = len(test)
+    results = np.zeros((n, 2))
+    out_poses = np.zeros((n, 3, 4), np.float32)
+    t0 = time.time()
+
+    if opts.pose_only == 2:
+        for i in range(n):
+            img = jnp.asarray(test.images[i])
+            target = extract_target_features(dfnet, dfvars, img[None],
+                                             test.H, test.W)[0]
+            out = refine_apr_single(
+                model, variables, dfnet, dfvars, img,
+                jax.lax.stop_gradient(target), jnp.asarray(test.hists[i]),
+                ws_vec, hwf_render, (test.H, test.W, float(test.focal)),
+                near, far, rcfg_render, rcfg, svd_reg=opts.svd_reg)
+            pose = out["refined_pose"] if opts.no_verification_step \
+                else apply_verification(out)
+            out_poses[i] = np.asarray(pose)
+            results[i] = pose_errors(out_poses[i][None],
+                                     test.poses[i][None])[0]
+            if i % 10 == 0:
+                print(f"renders {i}/total {n}", flush=True)
+    else:  # pose_only == 3: APR init poses then SE(3) delta refinement
+        init_poses = []
+        for i in range(0, n, 8):
+            imgs = jnp.asarray(test.images[i:i + 8])
+            poses = jax.vmap(lambda im: apr_pose(
+                dfnet, dfvars, im, opts.svd_reg))(imgs)
+            init_poses.append(np.asarray(poses))
+        init_poses = np.concatenate(init_poses)
+
+        targets = []
+        for i in range(0, n, 8):
+            f = extract_target_features(dfnet, dfvars,
+                                        jnp.asarray(test.images[i:i + 8]),
+                                        h, w)
+            targets.append(np.asarray(f))
+        targets = np.concatenate(targets)
+
+        B = 8  # refine 8 cameras per launch
+        for i in range(0, n, B):
+            sl = slice(i, min(i + B, n))
+            refined, _ = refine_poses_batch(
+                model, variables, jnp.asarray(init_poses[sl]),
+                jnp.asarray(targets[sl]), jnp.asarray(test.hists[sl]),
+                ws, hwf_render, rcfg_render, rcfg)
+            out_poses[sl] = np.asarray(refined)
+            print(f"renders {i}/total {n}", flush=True)
+        results = pose_errors(out_poses, test.poses)
+
+    dt = time.time() - t0
+    s = summarize(results)
+    print(f"Total execution time = {dt:.3f} sec "
+          f"({dt / max(n, 1):.3f} s/frame)")
+    print(f"Median error {s['median_t_m']}m and {s['median_r_deg']} degrees.")
+    print(f"Mean error {s['mean_t_m']}m and {s['mean_r_deg']} degrees.")
+
+    save_dir = (f"tmp/{opts.PoseEstimatorType}_NeFeS{opts.opt_iter}_"
+                f"{opts.dataset_type}/{scene_name}")
+    os.makedirs(save_dir, exist_ok=True)
+    out_txt = (f"{save_dir}/{opts.PoseEstimatorType}_{scene_name}_"
+               f"NeFeS{opts.opt_iter}_APR_pose_results.txt")
+    save_pose_txt(out_txt, out_poses)
+    print(f"saved {out_txt}")
+    return s
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,193 @@
+"""NeFeS training CLI — the run_nefes.py equivalent.
+
+Usage:
+  python -m nefes_tpu.cli.train --config <scene_config.txt> [--flag val ...]
+
+Accepts the reference's per-scene config txts (script/config/**). The
+3-stage progressive schedule follows run_nefes.py:34-40: stage-1 runs are
+color-only for `epochs`; stage-2 runs (new_schedule=2) train color+feature
+until epoch 200 then color+feature+fusion with patch sampling.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_scene(opts, train: bool):
+    from nefes_tpu.data import (
+        load_7scenes_colmap, load_7scenes_dslam, load_cambridge,
+    )
+    scene = os.path.basename(opts.datadir.rstrip("/"))
+    if opts.dataset_type == "7Scenes_colmap":
+        root = os.path.dirname(opts.datadir.rstrip("/"))
+        return load_7scenes_colmap(scene, root, opts.data_root, train=train,
+                                   trainskip=opts.trainskip,
+                                   testskip=opts.testskip, df=opts.df,
+                                   hist_bin=opts.hist_bin)
+    if opts.dataset_type == "7Scenes":
+        root = os.path.dirname(opts.datadir.rstrip("/"))
+        return load_7scenes_dslam(scene, root, opts.data_root, train=train,
+                                  trainskip=opts.trainskip,
+                                  testskip=opts.testskip, df=opts.df,
+                                  hist_bin=opts.hist_bin)
+    if opts.dataset_type == "Cambridge":
+        root = os.path.dirname(opts.datadir.rstrip("/"))
+        return load_cambridge(scene, root, train=train,
+                              trainskip=opts.trainskip,
+                              testskip=opts.testskip, df=opts.df,
+                              semantic=opts.semantic,
+                              tinyscale=opts.tinyscale,
+                              hist_bin=opts.hist_bin)
+    raise ValueError(f"unknown dataset_type {opts.dataset_type!r}")
+
+
+def build_model(opts):
+    import jax.numpy as jnp
+    from nefes_tpu.fields.embedder import EmbedConfig
+    from nefes_tpu.train import ModelConfig, NeFeSModel
+    cfg = ModelConfig(
+        depth=opts.netdepth, width=opts.netwidth,
+        feature_dim=opts.feature_dim,
+        fusion_residual=opts.use_fusion_res,
+        fusion_no_bn=opts.no_fusion_BN,
+        hist_bin=opts.hist_bin,
+        xyz_embed=EmbedConfig(num_freqs=opts.multires),
+        dir_embed=EmbedConfig(num_freqs=opts.multires_views),
+    )
+    return cfg, NeFeSModel(cfg)
+
+
+def precompute_targets(opts, scene, dfnet_bundle):
+    """Downsampled target rgb (+ DFNet features at render scale) for every
+    training image. DFNet is frozen, so features are computed ONCE per
+    scene instead of every batch as the reference does
+    (run_nefes.py:137-139) — a pure win."""
+    import jax.numpy as jnp
+    from nefes_tpu.utils.image import resize_bilinear
+    h, w = opts.render_hw(scene.H, scene.W)
+    rgb = np.asarray(resize_bilinear(jnp.asarray(scene.images), h, w))
+    feats = None
+    if dfnet_bundle is not None:
+        from nefes_tpu.features.dfnet import extract_target_features
+        dfnet, dfvars = dfnet_bundle
+        out = []
+        for i in range(0, len(scene.images), 8):
+            f = extract_target_features(
+                dfnet, dfvars, jnp.asarray(scene.images[i:i + 8]), h, w)
+            out.append(np.asarray(f))
+        feats = np.concatenate(out)
+    return rgb, feats
+
+
+def main(argv=None):
+    from nefes_tpu.cli.options import options_from_cli
+    opts = options_from_cli(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from nefes_tpu.train import (
+        create_train_state, make_optimizer, stage_for_epoch, lr_for_epoch,
+        train_step_rays, train_step_patch, save_checkpoint,
+        latest_checkpoint, restore_checkpoint,
+    )
+
+    scene = build_scene(opts, train=True)
+    cfg, model = build_model(opts)
+    tx = make_optimizer()
+    state = create_train_state(model, jax.random.key(0), tx)
+
+    expdir = os.path.join(opts.basedir, opts.expname)
+    os.makedirs(expdir, exist_ok=True)
+    with open(os.path.join(expdir, "args.txt"), "w") as f:
+        for k in sorted(vars(opts)):
+            f.write(f"{k} = {getattr(opts, k)}\n")
+
+    ckpt = None if opts.no_reload else latest_checkpoint(
+        os.path.join(expdir, "ckpts"))
+    if opts.ft_path:
+        ckpt = opts.ft_path
+    if ckpt:
+        print(f"restoring from {ckpt}")
+        state = restore_checkpoint(ckpt, state)
+
+    # frozen DFNet for feature targets (stages 1-2)
+    dfnet_bundle = None
+    needs_feat = opts.new_schedule == 2 or opts.color_feat_loss \
+        or opts.color_feat_fusion_loss or opts.color_feat_fusion_nerfw_loss
+    if needs_feat:
+        from nefes_tpu.features.dfnet import DFNet
+        from nefes_tpu.features.convert import convert_dfnet, \
+            load_torch_state_dict
+        dfnet = DFNet(output_dim=opts.feature_dim)
+        if opts.pretrain_featurenet_path:
+            dfvars = convert_dfnet(
+                load_torch_state_dict(opts.pretrain_featurenet_path))
+        else:
+            print("WARNING: no pretrain_featurenet_path — random DFNet")
+            h, w = opts.render_hw(scene.H, scene.W)
+            dfvars = dfnet.init(jax.random.key(1),
+                                jnp.zeros((1, scene.H, scene.W, 3)),
+                                upsample_hw=(h, w))
+        dfnet_bundle = (dfnet, dfvars)
+
+    target_rgb, target_feat = precompute_targets(opts, scene, dfnet_bundle)
+    h, w = opts.render_hw(scene.H, scene.W)
+    hwf = (h, w, float(scene.focal) / opts.tinyscale)
+    near, far = scene.near, scene.far
+    if opts.set_near_far:
+        near, far = opts.near_far
+
+    rcfg = cfg.render_config(
+        n_samples=opts.N_samples, n_importance=opts.N_importance,
+        perturb=opts.perturb > 0, raw_noise_std=opts.raw_noise_std,
+        use_fine_only=opts.use_fine_only)
+
+    n = len(scene)
+    rng = jax.random.key(0)
+    order_rng = np.random.default_rng(0)
+    print(f"training {opts.expname}: {n} views at {h}x{w}, "
+          f"schedule={opts.new_schedule}, epochs={opts.epochs}")
+
+    t0 = time.time()
+    for epoch in range(int(state.epoch), opts.epochs + 1):
+        stage = stage_for_epoch(opts.new_schedule, epoch)
+        lr = jnp.asarray(lr_for_epoch(epoch, opts.lrate, opts.lrate_decay))
+        perm = order_rng.permutation(n)
+        for i in range(0, n - opts.batch_size + 1, opts.batch_size):
+            idx = perm[i:i + opts.batch_size]
+            batch = {"rgb": jnp.asarray(target_rgb[idx]),
+                     "poses": jnp.asarray(scene.poses[idx]),
+                     "hists": jnp.asarray(scene.hists[idx])}
+            if stage >= 1:
+                batch["feat"] = jnp.asarray(target_feat[idx])
+            if opts.semantic and scene.masks is not None:
+                batch["mask"] = jnp.asarray(scene.masks[idx])
+            rng, k = jax.random.split(rng)
+            if stage == 2:
+                state, loss, aux = train_step_patch(
+                    model, rcfg, tx, state, batch, k, lr, hwf, near, far)
+            else:
+                state, loss, aux = train_step_rays(
+                    model, rcfg, tx, state, batch, k, lr, hwf, near, far,
+                    n_rand=opts.N_rand, stage=stage)
+        state = state.replace(epoch=jnp.asarray(epoch + 1, jnp.int32))
+
+        if epoch % opts.i_print == 0:
+            print(f"[epoch {epoch}] stage={stage} loss={float(loss):.5f} "
+                  f"psnr={float(aux['psnr']):.2f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+        if epoch % opts.i_weights == 0 and epoch > 0:
+            path = save_checkpoint(os.path.join(expdir, "ckpts"), state,
+                                   epoch)
+            print(f"saved {path}")
+    print("done")
+    return state
+
+
+if __name__ == "__main__":
+    main()
