@@ -58,8 +58,15 @@ def render_feature_image(model: NeFeSModel, variables, pose34: jnp.ndarray,
     DFM_pose_refine.py:321-329). Returns (rgb_img (h,w,3), fused (h,w,F))."""
     h, w, focal = hwf
     params = variables["params"]
-    out = render_image(model.coarse_fn, model.fine_fn, params, params,
-                       h, w, focal, pose34, near, far, cfg)
+    if cfg.fused:
+        packed_c, packed_f = model.pack_fused(params)
+        out = render_image(model.coarse_raw_fn(need_dw=cfg.fused_need_dw),
+                           model.fine_raw_fn(need_dw=cfg.fused_need_dw),
+                           packed_c, packed_f,
+                           h, w, focal, pose34, near, far, cfg)
+    else:
+        out = render_image(model.coarse_fn, model.fine_fn, params, params,
+                           h, w, focal, pose34, near, far, cfg)
     rgb = model.apply_exposure(params, hist[None],
                                out["rgb"].reshape(1, -1, 3))
     rgb_img = rgb.reshape(h, w, 3)

@@ -42,6 +42,13 @@ class RenderConfig:
     output_transient: bool = True  # NeRFW flag (fine model transient heads)
     xyz_embed: EmbedConfig = EmbedConfig(num_freqs=10)
     dir_embed: EmbedConfig = EmbedConfig(num_freqs=4)
+    # Pallas fused-field path (kernels/fused_field.py): when True the
+    # coarse_fn/fine_fn passed to render_rays are RAW-input field fns
+    # (packed_weights, pts, dirs, sigma_only, output_transient) and the
+    # params slots carry packed weight tuples. fused_need_dw=False skips
+    # all weight-grad matmuls in the kernel VJP (frozen-field refinement).
+    fused: bool = False
+    fused_need_dw: bool = True
 
     def test(self) -> "RenderConfig":
         """The render_kwargs_test variant (nerfh_nff.py:732-735)."""
@@ -55,7 +62,14 @@ FieldFn = Callable[..., dict]
 
 def _query(field_fn: FieldFn, params, pts: jnp.ndarray, viewdirs: jnp.ndarray,
            cfg: RenderConfig, sigma_only: bool, output_transient: bool) -> dict:
-    """Embed sample points + dirs and apply the field over the (R, S) grid."""
+    """Embed sample points + dirs and apply the field over the (R, S) grid.
+
+    On the fused path the embedding happens inside the Pallas kernel —
+    field_fn consumes raw pts/dirs."""
+    if cfg.fused:
+        dirs = None if sigma_only else jnp.broadcast_to(
+            viewdirs[..., None, :], pts.shape)
+        return field_fn(params, pts, dirs, sigma_only, output_transient)
     xyz_emb = embed(pts, cfg.xyz_embed)
     if sigma_only:
         return field_fn(params, xyz_emb, None, True, False)
@@ -92,7 +106,9 @@ def render_rays(coarse_fn: FieldFn, fine_fn: FieldFn | None,
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., None]
 
     query = _query
-    if remat:
+    if remat and not cfg.fused:
+        # the fused kernel's VJP recomputes in-kernel; remat would only
+        # add a third forward pass
         query = jax.checkpoint(_query, static_argnums=(0, 4, 5, 6))
 
     # coarse pass: sigma-only at test (fast path, rendering.py:117-125)

@@ -1,17 +1,20 @@
 """Ray sampling: stratified coarse samples + inverse-CDF importance samples.
 
 Reference: script/models/rendering.py:23-66 (sample_pdf) and :96-141
-(stratified z + sorted union). TPU notes: everything is static-shaped —
-the coarse+fine union is a fixed-size ``jnp.sort`` over N_samples +
-N_importance values (rendering.py:141's torch.sort equivalent), and the
-inverse CDF uses ``jnp.searchsorted`` batched over rays via vmap-free
-broadcasting.
+(stratified z + sorted union). TPU notes: everything is static-shaped,
+and the searchsorted / gather / sort trio the reference leans on is
+replaced with comparison-matrix + one-hot-matmul primitives from
+``nefes_tpu.ops.sorting`` — XLA's native lowerings of those ops are
+gather/while-loop serial code that dominated the refinement profile
+(34 ms sample_pdf + 7 ms union sort per iteration on a v5e).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from nefes_tpu.ops.sorting import onehot_gather, rank_sort, searchsorted_right
 
 
 def stratified_samples(rng: jax.Array | None, n_rays: int, n_samples: int,
@@ -64,14 +67,17 @@ def sample_pdf(rng: jax.Array | None, bins: jnp.ndarray, weights: jnp.ndarray,
         u = jax.random.uniform(rng, shape)
 
     cdf_sg = jax.lax.stop_gradient(cdf)
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf_sg, u)
+    inds = searchsorted_right(cdf_sg, u)
     below = jnp.maximum(0, inds - 1)
     above = jnp.minimum(cdf.shape[-1] - 1, inds)
 
-    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_b = jnp.take_along_axis(bins, below, axis=-1)
-    bins_a = jnp.take_along_axis(bins, above, axis=-1)
+    # one gather of the stacked (cdf, bins) pair per side — two one-hot
+    # matmuls instead of four lane-serial gathers
+    both = jnp.stack([cdf, bins], axis=-1)                        # (R, B+1, 2)
+    below_v = onehot_gather(both, below)                          # (R, S, 2)
+    above_v = onehot_gather(both, above)
+    cdf_b, bins_b = below_v[..., 0], below_v[..., 1]
+    cdf_a, bins_a = above_v[..., 0], above_v[..., 1]
 
     denom = cdf_a - cdf_b
     denom = jnp.where(denom < 1e-5, 1.0, denom)
@@ -90,5 +96,5 @@ def hierarchical_samples(rng: jax.Array | None, z_vals: jnp.ndarray,
     z_new = sample_pdf(rng, z_mid, weights[..., 1:-1], n_importance, det=det)
     z_new = jax.lax.stop_gradient(z_new)
     if not combine:  # use_fine_only mode (rendering.py:138-139)
-        return jnp.sort(z_new, axis=-1)
-    return jnp.sort(jnp.concatenate([z_vals, z_new], axis=-1), axis=-1)
+        return rank_sort(z_new)
+    return rank_sort(jnp.concatenate([z_vals, z_new], axis=-1))

@@ -94,6 +94,36 @@ class NeFeSModel:
 
     # --- functional application helpers (all pure) ---
 
+    # --- Pallas fused path (kernels/fused_field.py) ---
+
+    def fused_spec(self, typ: str) -> "FieldSpec":
+        from nefes_tpu.kernels.fused_field import FieldSpec
+        return FieldSpec.from_model(self.cfg, typ,
+                                    dtype=jnp.dtype(self.cfg.dtype).name)
+
+    def pack_fused(self, params) -> tuple:
+        """(packed_coarse, packed_fine) weight tuples for the raw fns."""
+        from nefes_tpu.kernels.fused_field import pack_params
+        return (pack_params(params["coarse"], self.fused_spec("coarse")),
+                pack_params(params["fine"], self.fused_spec("fine")))
+
+    def _raw_fn(self, typ: str, need_dw: bool, interpret: bool):
+        from nefes_tpu.kernels.fused_field import fused_field_apply
+        spec = self.fused_spec(typ)
+
+        def fn(packed, pts, dirs, sigma_only=False, output_transient=True):
+            return fused_field_apply(spec, packed, pts, dirs,
+                                     sigma_only=sigma_only,
+                                     output_transient=output_transient,
+                                     need_dw=need_dw, interpret=interpret)
+        return fn
+
+    def coarse_raw_fn(self, need_dw: bool = True, interpret: bool = False):
+        return self._raw_fn("coarse", need_dw, interpret)
+
+    def fine_raw_fn(self, need_dw: bool = True, interpret: bool = False):
+        return self._raw_fn("fine", need_dw, interpret)
+
     def coarse_fn(self, params, xyz_emb, dir_emb=None, sigma_only=False,
                   output_transient=False):
         return self.coarse.apply({"params": params["coarse"]}, xyz_emb,
