@@ -73,6 +73,7 @@ class Options:
     i_weights: int = 200
     i_testset: int = 200
     i_print: int = 10
+    val_views: int = 8          # holdout/val views per periodic render
     no_reload: bool = False
     ft_path: str | None = None
     no_grad_update: bool = False

@@ -89,16 +89,37 @@ def main(argv=None):
     out_poses = np.zeros((n, 3, 4), np.float32)
     t0 = time.time()
 
+    masks = test.masks if (opts.semantic and getattr(test, "masks", None)
+                           is not None) else None
+
     if opts.pose_only == 2:
+        # precompute ALL target features batched up front (the reference
+        # re-extracts per frame inside the loop, DFM_APR_refine.py:218);
+        # images stay on device across the whole run
+        images_dev = jnp.asarray(test.images)
+        hists_dev = jnp.asarray(test.hists)
+        targets = []
+        for i in range(0, n, 8):
+            f = extract_target_features(dfnet, dfvars, images_dev[i:i + 8],
+                                        test.H, test.W)
+            targets.append(jax.lax.stop_gradient(f))
+        targets = jnp.concatenate(targets)
+        masks_dev = None
+        if masks is not None:
+            # loader masks live at render scale (H/tinyscale); the mode-2
+            # loss runs on full-res upsampled features -> nearest upsample
+            m = jnp.asarray(masks)[..., None]
+            m = jax.image.resize(m, (m.shape[0], test.H, test.W, 1),
+                                 method="nearest")
+            masks_dev = m[..., 0]
+
         for i in range(n):
-            img = jnp.asarray(test.images[i])
-            target = extract_target_features(dfnet, dfvars, img[None],
-                                             test.H, test.W)[0]
             out = refine_apr_single(
-                model, variables, dfnet, dfvars, img,
-                jax.lax.stop_gradient(target), jnp.asarray(test.hists[i]),
+                model, variables, dfnet, dfvars, images_dev[i],
+                targets[i], hists_dev[i],
                 ws_vec, hwf_render, (test.H, test.W, float(test.focal)),
-                near, far, rcfg_render, rcfg, svd_reg=opts.svd_reg)
+                near, far, rcfg_render, rcfg, svd_reg=opts.svd_reg,
+                mask=None if masks_dev is None else masks_dev[i])
             pose = out["refined_pose"] if opts.no_verification_step \
                 else apply_verification(out)
             out_poses[i] = np.asarray(pose)
@@ -129,7 +150,8 @@ def main(argv=None):
             refined, _ = refine_poses_batch(
                 model, variables, jnp.asarray(init_poses[sl]),
                 jnp.asarray(targets[sl]), jnp.asarray(test.hists[sl]),
-                ws, hwf_render, rcfg_render, rcfg)
+                ws, hwf_render, rcfg_render, rcfg,
+                masks=None if masks is None else jnp.asarray(masks[sl]))
             out_poses[sl] = np.asarray(refined)
             print(f"renders {i}/total {n}", flush=True)
         results = pose_errors(out_poses, test.poses)

@@ -114,6 +114,17 @@ def main(argv=None):
     if ckpt:
         print(f"restoring from {ckpt}")
         state = restore_checkpoint(ckpt, state)
+        if opts.new_schedule == 2 and not opts.render_test:
+            # fine-tune start (reference run_nefes.py:323-326): the stage-2
+            # schedule counts epochs from 0 (feature phase until 200, then
+            # +fusion) — keep the restored params but reset the clock and
+            # the optimizer (the reference never reloads optimizer state,
+            # nerfh_nff.py:703-705)
+            state = state.replace(
+                epoch=jnp.zeros((), jnp.int32),
+                opt_state=tx.init(state.params))
+            print("new_schedule=2: reset epoch=0 + fresh optimizer "
+                  "for fine-tuning")
 
     # frozen DFNet for feature targets (stages 1-2)
     dfnet_bundle = None
@@ -146,6 +157,28 @@ def main(argv=None):
         n_samples=opts.N_samples, n_importance=opts.N_importance,
         perturb=opts.perturb > 0, raw_noise_std=opts.raw_noise_std,
         use_fine_only=opts.use_fine_only)
+    rcfg_test = rcfg.test()
+
+    def run_validation(step):
+        from nefes_tpu.render.validation import holdout_views, render_test
+        val_scene = build_scene(opts, train=False)
+        full_hwf = (scene.H, scene.W, float(scene.focal))
+        return render_test(
+            model, state.variables,
+            holdout_views(scene, skip=10, limit=opts.val_views),
+            holdout_views(val_scene, skip=max(1, len(val_scene)
+                                              // max(opts.val_views, 1)),
+                          limit=opts.val_views),
+            full_hwf, near, far, rcfg_test, dfnet_bundle, step,
+            basedir=opts.basedir, expname=opts.expname,
+            tinyscale=opts.tinyscale,
+            with_feature=dfnet_bundle is not None)
+
+    if opts.render_test:
+        # render-only entry (reference run_nefes.py:328-333): evaluate the
+        # restored checkpoint on train holdouts + val set, then exit
+        run_validation(int(state.epoch))
+        return state
 
     n = len(scene)
     rng = jax.random.key(0)
@@ -185,6 +218,8 @@ def main(argv=None):
             path = save_checkpoint(os.path.join(expdir, "ckpts"), state,
                                    epoch)
             print(f"saved {path}")
+        if opts.i_testset > 0 and epoch % opts.i_testset == 0 and epoch > 0:
+            run_validation(epoch)
     print("done")
     return state
 

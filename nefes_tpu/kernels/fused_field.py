@@ -105,17 +105,6 @@ def _emb_perm(n_freqs: int) -> np.ndarray:
     return perm
 
 
-def _freq_scale(n_freqs: int) -> np.ndarray:
-    """(3, 3F) matrix S with S[i, 3k+i] = 2**k: xs = x @ S gives the
-    f-major scaled coordinates whose sin/cos are the embedding bands."""
-    bands = 2.0 ** np.linspace(0.0, n_freqs - 1, n_freqs)
-    s = np.zeros((3, 3 * n_freqs), np.float32)
-    for k in range(n_freqs):
-        for i in range(3):
-            s[i, 3 * k + i] = bands[k]
-    return s
-
-
 def weight_names(spec: FieldSpec) -> list[str]:
     """Packed array order (the custom_vjp pytree layout)."""
     names = []
@@ -209,19 +198,23 @@ def _mm_t(g, w):
         preferred_element_type=jnp.float32)
 
 
-def _embed_block(x, scale, cd):
-    """x (T, 3) f32 -> (emb (T, E) in cd, xs (T, 3F) f32 for backward)."""
-    xs = jnp.dot(x, scale, preferred_element_type=jnp.float32)
+def _embed_block(x, n_freqs, cd):
+    """x (T, 3) f32 -> (emb (T, E) in cd, xs (T, 3F) f32 for backward).
+
+    The frequency scaling MUST be elementwise f32 (VPU): an MXU matmul
+    quantizes inputs to bf16, and a 0.4% relative error on x·2^9 is ~2
+    radians of phase — sin/cos garbage for the high bands (the bug the
+    f32-oracle probe caught at 20x the flax-bf16 error)."""
+    bands = 2.0 ** np.linspace(0.0, n_freqs - 1, n_freqs)
+    xs = jnp.concatenate([x * float(f) for f in bands], axis=1)  # (T, 3F)
     emb = jnp.concatenate(
         [x.astype(cd), jnp.sin(xs).astype(cd), jnp.cos(xs).astype(cd)],
         axis=1)
     return emb, xs
 
 
-def _forward_tile(spec: FieldSpec, mode: str, w, pts, dirs, sx, sd):
-    """Shared forward trace over one tile. w: dict name->ref (or value);
-    sx/sd: the (3, 3F) frequency-scale matrices (kernel inputs — Pallas
-    forbids captured array constants).
+def _forward_tile(spec: FieldSpec, mode: str, w, pts, dirs):
+    """Shared forward trace over one tile. w: dict name->ref (or value).
 
     Returns (outputs dict, activations dict) — activations only consumed by
     the backward kernel (they are in-register values, never written out by
@@ -231,17 +224,19 @@ def _forward_tile(spec: FieldSpec, mode: str, w, pts, dirs, sx, sd):
     acts = {}
 
     x = pts.astype(jnp.float32)
-    emb, xs = _embed_block(x, sx, cd)
+    emb, xs = _embed_block(x, spec.n_freqs_xyz, cd)
     acts["xs"] = xs
     acts["emb"] = emb
 
+    # NOTE for the backward: only the post-relu bf16 activations are kept
+    # (relu masks are recovered as h > 0); keeping the f32 pre-activations
+    # too blew the 16 MB VMEM budget at tile >= 1024.
     h = emb
     for i in range(spec.depth):
         z = _mm(h if i else emb, w[f"l{i}_wh" if i else f"l{i}_we"])
         if i and i in spec.skips:
             z = z + _mm(emb, w[f"l{i}_we"])
         z = z + w[f"l{i}_b"][:]
-        acts[f"z{i}"] = z
         h = jnp.maximum(z, 0.0).astype(cd)
         acts[f"h{i}"] = h
 
@@ -254,12 +249,11 @@ def _forward_tile(spec: FieldSpec, mode: str, w, pts, dirs, sx, sd):
     final = (_mm(h, w["fin_w"]) + w["fin_b"][:]).astype(cd)
     acts["final"] = final
     d = dirs.astype(jnp.float32)
-    embd, ds = _embed_block(d, sd, cd)
+    embd, ds = _embed_block(d, spec.n_freqs_dir, cd)
     acts["ds"] = ds
     acts["embd"] = embd
 
     zd = _mm(final, w["dir_wh"]) + _mm(embd, w["dir_wd"]) + w["dir_b"][:]
-    acts["zd"] = zd
     de = jnp.maximum(zd, 0.0).astype(cd)
     acts["de"] = de
     out["rgbfeat"] = _mm(de, w["rgb_w"]) + w["rgb_b"][:]
@@ -272,7 +266,7 @@ def _forward_tile(spec: FieldSpec, mode: str, w, pts, dirs, sx, sd):
     t2 = jnp.maximum(zt2, 0.0).astype(cd)
     zt3 = _mm(t2, w["t3_w"]) + w["t3_b"][:]
     t3 = jnp.maximum(zt3, 0.0).astype(cd)
-    acts.update(zt1=zt1, t1=t1, zt2=zt2, t2=t2, zt3=zt3, t3=t3)
+    acts.update(t1=t1, t2=t2, t3=t3)
 
     zts = _mm(t3, w["ts_w"]) + w["ts_b"][:]
     ztr = _mm(t3, w["tr_w"]) + w["tr_b"][:]
@@ -294,10 +288,10 @@ def _out_dims(spec: FieldSpec, mode: str) -> dict:
 
 
 def _fwd_kernel(spec, mode, names, refs):
-    pts, dirs, sx, sd = refs[0], refs[1], refs[2], refs[3]
-    w = dict(zip(names, refs[4:4 + len(names)]))
-    outs = refs[4 + len(names):]
-    out, _ = _forward_tile(spec, mode, w, pts[:], dirs[:], sx[:], sd[:])
+    pts, dirs = refs[0], refs[1]
+    w = dict(zip(names, refs[2:2 + len(names)]))
+    outs = refs[2 + len(names):]
+    out, _ = _forward_tile(spec, mode, w, pts[:], dirs[:])
     for ref, name in zip(outs, _out_names(mode)):
         ref[:] = out[name].astype(jnp.float32)
 
@@ -308,10 +302,10 @@ def _bwd_kernel(spec, mode, need_dw, names, refs):
     Weight grads accumulate in VMEM across the sequential grid."""
     onames = _out_names(mode)
     n_w = len(names)
-    pts, dirs, sx, sd = refs[0], refs[1], refs[2], refs[3]
-    w = dict(zip(names, refs[4:4 + n_w]))
-    cts = dict(zip(onames, refs[4 + n_w:4 + n_w + len(onames)]))
-    outs = refs[4 + n_w + len(onames):]
+    pts, dirs = refs[0], refs[1]
+    w = dict(zip(names, refs[2:2 + n_w]))
+    cts = dict(zip(onames, refs[2 + n_w:2 + n_w + len(onames)]))
+    outs = refs[2 + n_w + len(onames):]
     d_pts_ref, d_dirs_ref = outs[0], outs[1]
     dw = dict(zip(names, outs[2:])) if need_dw else {}
 
@@ -321,7 +315,7 @@ def _bwd_kernel(spec, mode, need_dw, names, refs):
             for r in dw.values():
                 r[:] = jnp.zeros_like(r)
 
-    _, a = _forward_tile(spec, mode, w, pts[:], dirs[:], sx[:], sd[:])
+    _, a = _forward_tile(spec, mode, w, pts[:], dirs[:])
     cd = jnp.dtype(spec.dtype)
 
     def acc(name, val):
@@ -348,7 +342,7 @@ def _bwd_kernel(spec, mode, need_dw, names, refs):
     if mode != "sigma":
         g_rf = cts["rgbfeat"][:]
         dde = dmat(g_rf, a["de"], "rgb_w", "rgb_b")
-        dzd = dde * (a["zd"] > 0)
+        dzd = dde * (a["de"] > 0)
         d_final = dmat(dzd, a["final"], "dir_wh", "dir_b")
         if need_dw:
             dw["dir_wd"][:] += jax.lax.dot_general(
@@ -366,11 +360,11 @@ def _bwd_kernel(spec, mode, need_dw, names, refs):
         dt3 = (dmat(dzts, a["t3"], "ts_w", "ts_b")
                + dmat(dztr, a["t3"], "tr_w", "tr_b")
                + dmat(dztb, a["t3"], "tb_w", "tb_b"))
-        dzt3 = dt3 * (a["zt3"] > 0)
+        dzt3 = dt3 * (a["t3"] > 0)
         dt2 = dmat(dzt3, a["t2"], "t3_w", "t3_b")
-        dzt2 = dt2 * (a["zt2"] > 0)
+        dzt2 = dt2 * (a["t2"] > 0)
         dt1 = dmat(dzt2, a["t1"], "t2_w", "t2_b")
-        dzt1 = dt1 * (a["zt1"] > 0)
+        dzt1 = dt1 * (a["t1"] > 0)
         d_final = d_final + dmat(dzt1, a["final"], "t1_wh", "t1_b")
         if need_dw:
             dw["t1_wd"][:] += jax.lax.dot_general(
@@ -385,7 +379,7 @@ def _bwd_kernel(spec, mode, need_dw, names, refs):
     # ---- xyz tower ----
     d_emb = jnp.zeros_like(a["emb"], dtype=jnp.float32)
     for i in range(spec.depth - 1, -1, -1):
-        dz = dh * (a[f"z{i}"] > 0)
+        dz = dh * (a[f"h{i}"] > 0)
         if i == 0:
             if need_dw:
                 dw["l0_we"][:] += jax.lax.dot_general(
@@ -406,20 +400,21 @@ def _bwd_kernel(spec, mode, need_dw, names, refs):
                             dw[f"l{i}_we"].dtype)
                 d_emb = d_emb + _mm_t(dz.astype(cd), w[f"l{i}_we"])
 
-    # ---- embedding chain rule: d_emb -> d_pts ----
-    def d_embed(d_e, xsv, n_freqs, scale):
+    # ---- embedding chain rule: d_emb -> d_pts (elementwise f32; see
+    # _embed_block for why no MXU here) ----
+    def d_embed(d_e, xsv, n_freqs):
         f3 = 3 * n_freqs
-        dx = d_e[:, :3]
         dxs = (d_e[:, 3:3 + f3] * jnp.cos(xsv)
                - d_e[:, 3 + f3:3 + 2 * f3] * jnp.sin(xsv))
-        return dx + jax.lax.dot_general(
-            dxs, scale,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        bands = 2.0 ** np.linspace(0.0, n_freqs - 1, n_freqs)
+        out = d_e[:, :3]
+        for k, f in enumerate(bands):
+            out = out + dxs[:, 3 * k:3 * k + 3] * float(f)
+        return out
 
-    d_pts_ref[:] = d_embed(d_emb, a["xs"], spec.n_freqs_xyz, sx[:])
+    d_pts_ref[:] = d_embed(d_emb, a["xs"], spec.n_freqs_xyz)
     if d_embd is not None:
-        d_dirs_ref[:] = d_embed(d_embd, a["ds"], spec.n_freqs_dir, sd[:])
+        d_dirs_ref[:] = d_embed(d_embd, a["ds"], spec.n_freqs_dir)
     else:
         d_dirs_ref[:] = jnp.zeros_like(d_dirs_ref)
 
@@ -438,11 +433,6 @@ def _tile_spec(tile, c):
                         memory_space=pltpu.VMEM)
 
 
-def _scales(spec):
-    return (jnp.asarray(_freq_scale(spec.n_freqs_xyz)),
-            jnp.asarray(_freq_scale(spec.n_freqs_dir)))
-
-
 def _run_fwd(spec, mode, interpret, weights, pts, dirs):
     n = pts.shape[0]
     t = spec.tile
@@ -450,20 +440,18 @@ def _run_fwd(spec, mode, interpret, weights, pts, dirs):
     names = weight_names(spec)
     dims = _out_dims(spec, mode)
     onames = _out_names(mode)
-    sx, sd = _scales(spec)
     out_shape = [jax.ShapeDtypeStruct((n, dims[o]), jnp.float32)
                  for o in onames]
     fn = pl.pallas_call(
         lambda *refs: _fwd_kernel(spec, mode, names, refs),
         grid=grid,
-        in_specs=[_tile_spec(t, 3), _tile_spec(t, 3),
-                  _const_spec(sx.shape), _const_spec(sd.shape)]
+        in_specs=[_tile_spec(t, 3), _tile_spec(t, 3)]
                  + [_const_spec(w.shape) for w in weights],
         out_specs=[_tile_spec(t, dims[o]) for o in onames],
         out_shape=out_shape,
         interpret=interpret,
     )
-    return tuple(fn(pts, dirs, sx, sd, *weights))
+    return tuple(fn(pts, dirs, *weights))
 
 
 def _run_bwd(spec, mode, need_dw, interpret, weights, pts, dirs, cts):
@@ -479,19 +467,17 @@ def _run_bwd(spec, mode, need_dw, interpret, weights, pts, dirs, cts):
         for w in weights:
             out_shape.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
             out_specs.append(_const_spec(w.shape))
-    sx, sd = _scales(spec)
     fn = pl.pallas_call(
         lambda *refs: _bwd_kernel(spec, mode, need_dw, names, refs),
         grid=(n // t,),
-        in_specs=[_tile_spec(t, 3), _tile_spec(t, 3),
-                  _const_spec(sx.shape), _const_spec(sd.shape)]
+        in_specs=[_tile_spec(t, 3), _tile_spec(t, 3)]
                  + [_const_spec(w.shape) for w in weights]
                  + [_tile_spec(t, dims[o]) for o in onames],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
     )
-    return fn(pts, dirs, sx, sd, *weights, *cts)
+    return fn(pts, dirs, *weights, *cts)
 
 
 @functools.lru_cache(maxsize=None)

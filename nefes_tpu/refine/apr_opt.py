@@ -28,7 +28,9 @@ import optax
 
 from nefes_tpu.features.dfnet import DFNet
 from nefes_tpu.geometry.se3 import orthogonalize_rotation
-from nefes_tpu.refine.losses import feature_cosine_loss
+from nefes_tpu.refine.losses import (
+    feature_cosine_loss, masked_feature_cosine_loss,
+)
 from nefes_tpu.refine.pose_opt import RefineConfig, render_feature_image
 from nefes_tpu.render.renderer import RenderConfig
 from nefes_tpu.train.losses import psnr as psnr_fn
@@ -61,11 +63,14 @@ def refine_apr_single(model: NeFeSModel, variables, dfnet: DFNet,
                       ws_vec: jnp.ndarray, hwf_render: tuple,
                       hwf_full: tuple, near: float, far: float,
                       cfg: RenderConfig, rcfg: RefineConfig,
-                      svd_reg: bool = True):
+                      svd_reg: bool = True, mask: jnp.ndarray | None = None):
     """Refine the APR on ONE query image.
 
     image: (H, W, 3); target_feat: (H, W, C) full-res DFNet features
-    (extracted once outside, DFM_APR_refine.py:216-221).
+    (extracted once outside, DFM_APR_refine.py:216-221). mask: optional
+    (H, W) semantic validity mask (Cambridge, semantic=True configs) —
+    invalid pixels are excluded from the DFM cosine loss
+    (masked_feature_loss, DFM_pose_refine.py:257-288).
 
     Returns dict with refined/initial poses (dataset frame), per-iter
     losses, and the verification metrics (init/end psnr+ssim).
@@ -91,8 +96,13 @@ def refine_apr_single(model: NeFeSModel, variables, dfnet: DFNet,
                                               cfg)
         fused_up = resize_bicubic(fused[None], H, W)[0]
         rgb_up = resize_bicubic(rgb_img[None], H, W)[0]
-        loss = feature_cosine_loss(_crop(fused_up), tgt_crop,
-                                   per_pixel=rcfg.per_pixel)
+        if mask is not None:
+            loss = masked_feature_cosine_loss(_crop(fused_up), tgt_crop,
+                                              _crop(mask),
+                                              per_pixel=rcfg.per_pixel)
+        else:
+            loss = feature_cosine_loss(_crop(fused_up), tgt_crop,
+                                       per_pixel=rcfg.per_pixel)
         return loss, (rgb_up, pose)
 
     def step(carry, _):

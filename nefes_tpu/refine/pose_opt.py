@@ -26,7 +26,9 @@ import optax
 
 from nefes_tpu.geometry.se3 import learn_pose
 from nefes_tpu.geometry.transforms import WorldSetup
-from nefes_tpu.refine.losses import feature_cosine_loss
+from nefes_tpu.refine.losses import (
+    feature_cosine_loss, masked_feature_cosine_loss,
+)
 from nefes_tpu.render.renderer import RenderConfig, render_image
 from nefes_tpu.train.model import NeFeSModel
 
@@ -86,15 +88,18 @@ def _pose_optimizer(rcfg: RefineConfig) -> optax.GradientTransformation:
 def refine_pose_single(model: NeFeSModel, variables, init_pose: jnp.ndarray,
                        target_feat: jnp.ndarray, hist: jnp.ndarray,
                        ws_vec: jnp.ndarray, hwf: tuple, near: float,
-                       far: float, cfg: RenderConfig, rcfg: RefineConfig):
+                       far: float, cfg: RenderConfig, rcfg: RefineConfig,
+                       mask: jnp.ndarray | None = None):
     """Refine ONE camera pose for rcfg.opt_iter iterations as a lax.scan.
 
     init_pose: (3, 4) APR estimate in DATASET world frame (fix_coord_supp
     applied inside, as the reference does each iteration).
     target_feat: (h, w, C) DFNet features of the query image at render
     scale. ws_vec: [pose_scale, pose_scale2, mx, my, mz] world constants.
-    Returns (refined_pose (3, 4) in dataset frame pre-rescale, losses
-    (opt_iter,)).
+    mask: optional (h, w) semantic validity mask — invalid pixels are
+    dropped from the cosine loss (masked_feature_loss semantics,
+    DFM_pose_refine.py:257-288). Returns (refined_pose (3, 4) in dataset
+    frame pre-rescale, losses (opt_iter,)).
     """
     tx = _pose_optimizer(rcfg)
     params0 = {"r": jnp.zeros(3), "t": jnp.zeros(3)}
@@ -111,6 +116,9 @@ def refine_pose_single(model: NeFeSModel, variables, init_pose: jnp.ndarray,
         _, nerf_pose = pose_from(p)
         _, fused = render_feature_image(model, variables, nerf_pose, hist,
                                         hwf, near, far, cfg)
+        if mask is not None:
+            return masked_feature_cosine_loss(fused, target_feat, mask,
+                                              per_pixel=rcfg.per_pixel)
         return feature_cosine_loss(fused, target_feat,
                                    per_pixel=rcfg.per_pixel)
 
@@ -129,12 +137,17 @@ def refine_pose_single(model: NeFeSModel, variables, init_pose: jnp.ndarray,
 
 def refine_poses_batch(model: NeFeSModel, variables, init_poses, target_feats,
                        hists, ws: WorldSetup, hwf: tuple, cfg: RenderConfig,
-                       rcfg: RefineConfig):
+                       rcfg: RefineConfig, masks=None):
     """vmap the per-camera scan across a batch of cameras — N refinements
     in one launch (the serial reference loop at DFM_pose_refine.py:380)."""
     ws_vec = jnp.asarray([ws.pose_scale, ws.pose_scale2,
                           *ws.move_all_cam_vec], jnp.float32)
-    fn = lambda pose, feat, hist: refine_pose_single(
+    fn = lambda pose, feat, hist, mask: refine_pose_single(
         model, variables, pose, feat, hist, ws_vec, hwf, ws.near, ws.far,
-        cfg, rcfg)
-    return jax.vmap(fn)(init_poses, target_feats, hists)
+        cfg, rcfg, mask=mask)
+    if masks is None:
+        fn_nomask = lambda pose, feat, hist: refine_pose_single(
+            model, variables, pose, feat, hist, ws_vec, hwf, ws.near,
+            ws.far, cfg, rcfg)
+        return jax.vmap(fn_nomask)(init_poses, target_feats, hists)
+    return jax.vmap(fn)(init_poses, target_feats, hists, masks)

@@ -1,0 +1,195 @@
+"""Validation / test-set renderers.
+
+Replaces reference script/models/rendering.py:246-318 (render_path),
+:320-414 (render_test) and :521-640 (render_path_with_feature): periodic
+test-set rendering during NeFeS training with PSNR, feature cosine
+similarity vs DFNet ground-truth features, and PNG artifacts (render, GT,
+disparity, feature-saliency grids).
+
+TPU shape: ONE jitted single-pose render program reused across poses
+(pose/hist are traced args), python loop only over the handful of holdout
+views — no chunk loops. The reference's LARGE_FEATURE_SIZE=True branch is
+the implemented behavior: render at H/tinyscale, run FusionNet once
+global_step >= EPOCH_TO_FUSION, bicubic-upsample features AND rgb to full
+H×W (torch kernel semantics, utils/image.py), crop a 10-px border, then
+PSNR + per-pixel cosine loss.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nefes_tpu.refine.losses import feature_cosine_loss
+from nefes_tpu.render.renderer import RenderConfig, render_image
+from nefes_tpu.train.model import NeFeSModel
+from nefes_tpu.utils.image import resize_bicubic
+from nefes_tpu.utils.viz import ensure_dir, save_feature_saliency, save_png
+
+BORDER_CROP = 10   # rendering.py:605-607
+EPOCH_TO_FUSION = 200
+
+
+@partial(jax.jit, static_argnames=("model", "cfg", "hwf", "tinyscale",
+                                   "use_fusion"))
+def _render_one(model: NeFeSModel, variables, pose34, hist, hwf: tuple,
+                near: float, far: float, cfg: RenderConfig,
+                tinyscale: float, use_fusion: bool):
+    """Render one pose at H/tinyscale; returns full-res rgb + feat maps
+    (bicubic-upsampled) and the small disparity map."""
+    H, W, focal = hwf
+    h, w = int(H // tinyscale), int(W // tinyscale)
+    params = variables["params"]
+    out = render_image(model.coarse_fn, model.fine_fn, params, params,
+                       h, w, focal / tinyscale, pose34, near, far, cfg)
+    rgb = model.apply_exposure(params, hist[None],
+                               out["rgb"].reshape(1, -1, 3))
+    rgb_small = rgb.reshape(h, w, 3)
+    if use_fusion:
+        feat, _ = model.apply_fusion(variables, rgb_small[None],
+                                     out["feat"][None], train=False)
+        feat = feat[0]
+    else:
+        feat = out["feat"]
+    rgb_full = resize_bicubic(rgb_small, H, W)
+    feat_full = resize_bicubic(feat, H, W)
+    return {"rgb_small": rgb_small, "rgb": rgb_full, "feat": feat_full,
+            "disp": out["disp"].reshape(h, w)}
+
+
+def _crop(x):
+    return x[BORDER_CROP:-BORDER_CROP, BORDER_CROP:-BORDER_CROP]
+
+
+def render_path_with_feature(model: NeFeSModel, variables, poses, hists,
+                             hwf: tuple, near: float, far: float,
+                             cfg: RenderConfig, gt_images,
+                             dfnet_bundle, global_step: int,
+                             tinyscale: float = 4.0,
+                             savedir: str | None = None) -> dict:
+    """poses (N,3,4), hists (N,bins), gt_images (N,H,W,3) f32 [0,1].
+
+    Returns {"psnr": mean, "feat_cos": mean, "per_frame": [...]} and, when
+    savedir is set, writes {i:03d}.png / _GT / _disp / _feature{,_gt}.png
+    per frame (reference rendering.py:609-630).
+    """
+    H, W, _ = hwf
+    use_fusion = global_step >= EPOCH_TO_FUSION
+    dfnet, dfvars = dfnet_bundle
+    from nefes_tpu.features.dfnet import extract_target_features
+
+    gt_feats = extract_target_features(dfnet, dfvars,
+                                       jnp.asarray(gt_images), H, W)
+    psnrs, coses = [], []
+    if savedir:
+        ensure_dir(savedir)
+    for i in range(len(poses)):
+        out = _render_one(model, variables, jnp.asarray(poses[i]),
+                          jnp.asarray(hists[i]), hwf, near, far,
+                          cfg, tinyscale, use_fusion)
+        rgb = np.asarray(out["rgb"])
+        gt = np.asarray(gt_images[i])
+        p = -10.0 * np.log10(np.mean(np.square(rgb - gt)))
+        feat_c = _crop(out["feat"])
+        gt_c = _crop(gt_feats[i])
+        cos = float(feature_cosine_loss(feat_c, gt_c, per_pixel=True))
+        psnrs.append(float(p))
+        coses.append(cos)
+        if savedir:
+            save_png(os.path.join(savedir, f"{i:03d}.png"), rgb)
+            save_png(os.path.join(savedir, f"{i:03d}_GT.png"), gt)
+            disp = np.asarray(out["disp"])
+            save_png(os.path.join(savedir, f"{i:03d}_disp.png"),
+                     disp / max(disp.max(), 1e-8))
+            save_feature_saliency(
+                os.path.join(savedir, f"{i:03d}_feature.png"),
+                np.asarray(feat_c))
+            save_feature_saliency(
+                os.path.join(savedir, f"{i:03d}_feature_gt.png"),
+                np.asarray(gt_c))
+    return {"psnr": float(np.mean(psnrs)),
+            "feat_cos": float(np.mean(coses)),
+            "per_frame": list(zip(psnrs, coses))}
+
+
+@partial(jax.jit, static_argnames=("model", "cfg", "hwf"))
+def _render_one_full(model: NeFeSModel, variables, pose34, hist, hwf: tuple,
+                     near: float, far: float, cfg: RenderConfig):
+    H, W, focal = hwf
+    params = variables["params"]
+    out = render_image(model.coarse_fn, model.fine_fn, params, params,
+                       H, W, focal, pose34, near, far, cfg,
+                       block_rays=4096)
+    rgb = model.apply_exposure(params, hist[None],
+                               out["rgb"].reshape(1, -1, 3))
+    return {"rgb": rgb.reshape(H, W, 3), "disp": out["disp"]}
+
+
+def render_path(model: NeFeSModel, variables, poses, hists, hwf: tuple,
+                near: float, far: float, cfg: RenderConfig, gt_images=None,
+                savedir: str | None = None) -> dict:
+    """Full-resolution render of each pose + PSNR + PNG dumps (reference
+    rendering.py:246-318)."""
+    psnrs = []
+    if savedir:
+        ensure_dir(savedir)
+    for i in range(len(poses)):
+        out = _render_one_full(model, variables, jnp.asarray(poses[i]),
+                               jnp.asarray(hists[i]), hwf, near, far, cfg)
+        rgb = np.asarray(out["rgb"])
+        if gt_images is not None:
+            gt = np.asarray(gt_images[i])
+            psnrs.append(float(-10.0 * np.log10(
+                np.mean(np.square(rgb - gt)))))
+        if savedir:
+            save_png(os.path.join(savedir, f"{i:03d}.png"), rgb)
+            if gt_images is not None:
+                save_png(os.path.join(savedir, f"{i:03d}_GT.png"),
+                         np.asarray(gt_images[i]))
+            disp = np.asarray(out["disp"])
+            save_png(os.path.join(savedir, f"{i:03d}_disp.png"),
+                     disp / max(disp.max(), 1e-8))
+    return {"psnr": float(np.mean(psnrs)) if psnrs else float("nan")}
+
+
+def render_test(model: NeFeSModel, variables, train_views: dict,
+                val_views: dict, hwf: tuple, near: float, far: float,
+                cfg: RenderConfig, dfnet_bundle, global_step: int,
+                basedir: str, expname: str, tinyscale: float = 4.0,
+                with_feature: bool = True) -> dict:
+    """Render holdout train views + all val views into
+    evaluate_{train,val}_{step} dirs (reference run_nefes.py:387-481 /
+    rendering.py:320-414). views dicts: poses/hists/images arrays."""
+    results = {}
+    for name, views in (("train", train_views), ("val", val_views)):
+        if views is None or len(views["poses"]) == 0:
+            continue
+        savedir = os.path.join(basedir, expname,
+                               f"evaluate_{name}_{global_step:06d}")
+        if with_feature and dfnet_bundle is not None:
+            results[name] = render_path_with_feature(
+                model, variables, views["poses"], views["hists"], hwf,
+                near, far, cfg, views["images"], dfnet_bundle, global_step,
+                tinyscale=tinyscale, savedir=savedir)
+        else:
+            results[name] = render_path(
+                model, variables, views["poses"], views["hists"], hwf,
+                near, far, cfg, gt_images=views["images"], savedir=savedir)
+        print(f"[render_test] {name}: " + " ".join(
+            f"{k}={v:.4f}" for k, v in results[name].items()
+            if isinstance(v, float)), flush=True)
+    return results
+
+
+def holdout_views(scene, skip: int = 10, limit: int | None = None) -> dict:
+    """Every skip-th view of a SceneData (reference j_skip=10,
+    run_nefes.py:399)."""
+    idx = np.arange(len(scene))[::skip]
+    if limit:
+        idx = idx[:limit]
+    return {"poses": scene.poses[idx], "hists": scene.hists[idx],
+            "images": scene.images[idx]}

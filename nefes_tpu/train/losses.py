@@ -9,6 +9,8 @@ fusion term, with the 0.02/0.04 stage weights applied at the call site
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax.numpy as jnp
 
 LAMBDA_U = 0.01  # NerfWLoss lambda_u (losses.py:104)
@@ -44,12 +46,21 @@ def color_loss(rgb_coarse, rgb_fine, target):
     return mse(rgb_fine, target) + mse(rgb_coarse, target)
 
 
+def masked_l1(a, b, mask):
+    """Mean |a-b| over pixels with mask>0. mask broadcasts against the
+    leading dims of a (e.g. (B, N) weights vs (B, N, C) features)."""
+    m = (mask > 0).astype(a.dtype)[..., None]
+    denom = jnp.maximum(m.sum() * a.shape[-1], 1.0)
+    return (jnp.abs(a - b) * m).sum() / denom
+
+
 def nefes_training_loss(outputs: dict, target_rgb: jnp.ndarray,
                         target_feat: jnp.ndarray | None,
                         fusion_out: jnp.ndarray | None,
                         stage: int,
                         feat_weight: float = 0.04,
-                        fusion_weight: float = 0.02) -> tuple[jnp.ndarray, dict]:
+                        fusion_weight: float = 0.02,
+                        mask: jnp.ndarray | None = None) -> tuple[jnp.ndarray, dict]:
     """The staged production loss.
 
     stage 0: color only (NerfW color terms, run_nefes.py:249-251)
@@ -57,7 +68,10 @@ def nefes_training_loss(outputs: dict, target_rgb: jnp.ndarray,
     stage 2: + fusion_weight·(L1 feat + L1 fusion)     (:238-243, w=0.02)
 
     outputs: render_rays train dict (rgb AFTER affine color transform must
-    be placed in outputs['rgb']). Returns (loss, aux dict).
+    be placed in outputs['rgb']). mask: optional (B, N) semantic validity
+    weights applied to the feature/fusion terms — the stage-2 patch step
+    cannot pre-filter pixels by mask (patches are contiguous), so dynamic
+    pixels are excluded here instead. Returns (loss, aux dict).
     """
     loss_rgb = nerfw_loss(outputs["rgb0"], outputs["rgb"], target_rgb,
                           beta=outputs.get("beta"),
@@ -66,12 +80,13 @@ def nefes_training_loss(outputs: dict, target_rgb: jnp.ndarray,
     if stage == 0:
         return loss_rgb, aux
 
-    loss_f = l1(outputs["feat"], target_feat)
+    feat_l1 = l1 if mask is None else partial(masked_l1, mask=mask)
+    loss_f = feat_l1(outputs["feat"], target_feat)
     if stage == 1:
         aux["loss_feat"] = loss_f
         return loss_rgb + feat_weight * loss_f, aux
 
-    loss_fusion = l1(fusion_out, target_feat)
+    loss_fusion = feat_l1(fusion_out, target_feat)
     aux["loss_feat"] = loss_f
     aux["loss_fusion"] = loss_fusion
     return (loss_rgb + fusion_weight * loss_f + fusion_weight * loss_fusion,

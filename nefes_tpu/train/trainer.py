@@ -182,6 +182,10 @@ def train_step_patch(model: NeFeSModel, cfg: RenderConfig,
         lambda img: img.reshape(H * W, -1)[idx])(imgs)
     target_rgb = gather(batch["rgb"])
     target_feat = gather(batch["feat"])
+    # contiguous patches cannot avoid masked-out (dynamic) pixels at
+    # selection time — drop them from the feature/fusion terms instead
+    patch_mask = (gather(batch["mask"])[..., 0]
+                  if batch.get("mask") is not None else None)
 
     def loss_fn(variables):
         params = variables["params"]
@@ -198,7 +202,8 @@ def train_step_patch(model: NeFeSModel, cfg: RenderConfig,
         fusion_flat = fusion_out.reshape(B, NUM_CROPS * CROP_SIZE * CROP_SIZE,
                                          -1)
         loss, aux = nefes_training_loss(out, target_rgb, target_feat,
-                                        fusion_out=fusion_flat, stage=2)
+                                        fusion_out=fusion_flat, stage=2,
+                                        mask=patch_mask)
         aux["psnr"] = psnr(out["rgb"], target_rgb)
         return loss, (aux, new_bs)
 
