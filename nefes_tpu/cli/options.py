@@ -76,7 +76,11 @@ class Options:
     val_views: int = 8          # holdout/val views per periodic render
     no_reload: bool = False
     ft_path: str | None = None
-    no_grad_update: bool = False
+    # NOTE: the reference's --no_grad_update (dm/options.py:72) is not
+    # modeled: the field is ALWAYS frozen during refinement here by
+    # construction (stop-gradient packing / need_dw=False), the flag's
+    # only shipped value. Config files carrying it are ignored-with-print
+    # by load_options.
     set_near_far: bool = False
     near_far: tuple = (0.5, 2.5)
 
@@ -85,6 +89,15 @@ class Options:
     color_feat_loss: bool = False
     color_feat_fusion_loss: bool = False
     color_feat_fusion_nerfw_loss: bool = False
+
+    # auxiliary regularizers (options.py:52-55,61,78-79)
+    tvloss: bool = False
+    tvloss_w: float = 1e-6
+    l1normloss: bool = False
+    l1normloss_w: float = 1e-6
+    sigma_sparsity_loss: bool = False
+    sigma_sparsity_loss2: bool = False
+    depth_loss: bool = False      # reference --depth (DPT mono-depth)
 
     # APR / refinement (dm/options.py)
     pose_only: int = 0

@@ -55,18 +55,40 @@ def main(argv=None):
         print("WARNING: no ft_path — random field (smoke mode)")
         variables = model.init_variables(jax.random.key(0))
 
+    # feature extractor: always DFNet (load_FeatureNet,
+    # direct_pose_model.py:109-118)
     dfnet = DFNet(output_dim=opts.feature_dim)
     if opts.pretrain_featurenet_path:
         dfvars = convert_dfnet(
             load_torch_state_dict(opts.pretrain_featurenet_path))
-    elif opts.pretrain_model_path:
+    elif opts.pretrain_model_path and opts.PoseEstimatorType == "DFNet":
         dfvars = convert_dfnet(
             load_torch_state_dict(opts.pretrain_model_path))
     else:
-        print("WARNING: random DFNet (smoke mode)")
+        print("WARNING: random DFNet feature extractor (smoke mode)")
         dfvars = dfnet.init(jax.random.key(1),
                             jnp.zeros((1, test.H, test.W, 3)),
                             upsample_hw=(test.H, test.W))
+
+    # pose estimator: dispatch on PoseEstimatorType
+    # (load_APR_and_FeatureNet, direct_pose_model.py:148-173)
+    from nefes_tpu.features.apr_loader import load_apr
+    pose_avg = getattr(test, "pose_avg_stats", None)
+    if opts.PoseEstimatorType == "DFNet":
+        apr_module = dfnet
+        if opts.pretrain_model_path and opts.pretrain_featurenet_path:
+            # distinct APR vs FeatureNet checkpoints (the DFM configs give
+            # both paths, config_stairs_DFM.txt)
+            apr_vars = convert_dfnet(
+                load_torch_state_dict(opts.pretrain_model_path))
+        else:
+            apr_vars = dfvars
+    else:
+        apr_module, apr_vars, _ = load_apr(
+            opts.PoseEstimatorType, opts.pretrain_model_path or None,
+            (test.H, test.W), jax.random.key(2),
+            feature_dim=opts.feature_dim, dataset_type=opts.dataset_type,
+            pose_avg_stats=pose_avg)
 
     h, w = opts.render_hw(test.H, test.W)
     hwf_render = (h, w, float(test.focal) / opts.tinyscale)
@@ -115,11 +137,14 @@ def main(argv=None):
 
         for i in range(n):
             out = refine_apr_single(
-                model, variables, dfnet, dfvars, images_dev[i],
+                model, variables, apr_module, apr_vars, images_dev[i],
                 targets[i], hists_dev[i],
                 ws_vec, hwf_render, (test.H, test.W, float(test.focal)),
                 near, far, rcfg_render, rcfg, svd_reg=opts.svd_reg,
-                mask=None if masks_dev is None else masks_dev[i])
+                mask=None if masks_dev is None else masks_dev[i],
+                freeze_bn=opts.freezeBN, apr_kind=opts.PoseEstimatorType,
+                dataset_type=opts.dataset_type,
+                pose_avg=None if pose_avg is None else jnp.asarray(pose_avg))
             pose = out["refined_pose"] if opts.no_verification_step \
                 else apply_verification(out)
             out_poses[i] = np.asarray(pose)
@@ -128,11 +153,15 @@ def main(argv=None):
             if i % 10 == 0:
                 print(f"renders {i}/total {n}", flush=True)
     else:  # pose_only == 3: APR init poses then SE(3) delta refinement
+        from nefes_tpu.refine.apr_opt import apr_pose_any
+        pose_avg_j = None if pose_avg is None else jnp.asarray(pose_avg)
         init_poses = []
         for i in range(0, n, 8):
             imgs = jnp.asarray(test.images[i:i + 8])
-            poses = jax.vmap(lambda im: apr_pose(
-                dfnet, dfvars, im, opts.svd_reg))(imgs)
+            poses = jax.vmap(lambda im: apr_pose_any(
+                opts.PoseEstimatorType, apr_module, apr_vars, im,
+                opts.svd_reg, dataset_type=opts.dataset_type,
+                pose_avg=pose_avg_j))(imgs)
             init_poses.append(np.asarray(poses))
         init_poses = np.concatenate(init_poses)
 
@@ -140,7 +169,8 @@ def main(argv=None):
         for i in range(0, n, 8):
             f = extract_target_features(dfnet, dfvars,
                                         jnp.asarray(test.images[i:i + 8]),
-                                        h, w)
+                                        h, w,
+                                        levels=tuple(opts.feature_matching_lvl))
             targets.append(np.asarray(f))
         targets = np.concatenate(targets)
 

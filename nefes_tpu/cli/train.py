@@ -95,6 +95,7 @@ def main(argv=None):
         train_step_rays, train_step_patch, save_checkpoint,
         latest_checkpoint, restore_checkpoint,
     )
+    from nefes_tpu.train.trainer import AuxConfig
 
     scene = build_scene(opts, train=True)
     cfg, model = build_model(opts)
@@ -180,6 +181,14 @@ def main(argv=None):
         run_validation(int(state.epoch))
         return state
 
+    aux_cfg = AuxConfig.from_options(opts, far)
+    if opts.l1normloss:
+        print("WARNING: l1normloss applies to hash-grid tables "
+              "(fields/hashgrid.py); ignored for the NeRFH-NFF field")
+    if opts.depth_loss:
+        print("WARNING: depth_loss needs dpt depth targets; ignored "
+              "(aux_losses.depth_loss_dpt is available as a library fn)")
+
     n = len(scene)
     rng = jax.random.key(0)
     order_rng = np.random.default_rng(0)
@@ -207,7 +216,7 @@ def main(argv=None):
             else:
                 state, loss, aux = train_step_rays(
                     model, rcfg, tx, state, batch, k, lr, hwf, near, far,
-                    n_rand=opts.N_rand, stage=stage)
+                    n_rand=opts.N_rand, stage=stage, aux=aux_cfg)
         state = state.replace(epoch=jnp.asarray(epoch + 1, jnp.int32))
 
         if epoch % opts.i_print == 0:

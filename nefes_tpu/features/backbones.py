@@ -29,8 +29,12 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # torchvision pads symmetrically ((k-1)//2 each side) — NOT TF
+        # "SAME", which goes asymmetric for stride 2 on even sizes
+        p = (self.kernel - 1) // 2
         x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride), padding="SAME",
+                    strides=(self.stride, self.stride),
+                    padding=[(p, p), (p, p)],
                     feature_group_count=self.groups, use_bias=False,
                     name="conv", dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -51,13 +55,13 @@ class BasicBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         identity = x
         h = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
-                    padding="SAME", use_bias=False, name="conv1",
+                    padding=[(1, 1), (1, 1)], use_bias=False, name="conv1",
                     dtype=self.dtype)(x)
         h = nn.BatchNorm(use_running_average=not train, name="bn1",
                          epsilon=1e-5, dtype=self.dtype)(h)
         h = nn.relu(h)
-        h = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
-                    name="conv2", dtype=self.dtype)(h)
+        h = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=False, name="conv2", dtype=self.dtype)(h)
         h = nn.BatchNorm(use_running_average=not train, name="bn2",
                          epsilon=1e-5, dtype=self.dtype)(h)
         if self.stride != 1 or x.shape[-1] != self.features:
@@ -223,15 +227,23 @@ class EfficientNet(nn.Module):
         h = nn.BatchNorm(use_running_average=not train, name="stem_bn",
                          epsilon=1e-3, dtype=self.dtype)(h)
         h = nn.silu(h)
+        # endpoints follow the lukemelas extract_endpoints rule: the map
+        # recorded as reduction_i is the activation JUST BEFORE the i-th
+        # post-stem downsampling (B0: reduction_3 = 40ch, reduction_4 =
+        # 112ch — the taps MsTransformer uses, backbone.py:19)
         endpoints = {}
         idx = 0
-        for bi, (expand, ch, reps, stride, kernel) in enumerate(_EFFNET_PLAN):
+        red = 1
+        for expand, ch, reps, stride, kernel in _EFFNET_PLAN:
             ch = _round_filters(ch, width)
             for i in range(_round_repeats(reps, depth)):
-                h = MBConv(ch, kernel, stride if i == 0 else 1, expand,
+                s = stride if i == 0 else 1
+                if s > 1:
+                    endpoints[f"reduction_{red}"] = h
+                    red += 1
+                h = MBConv(ch, kernel, s, expand,
                            dtype=self.dtype, name=f"block_{idx}")(h, train)
                 idx += 1
-            endpoints[f"reduction_{bi + 1}"] = h
         head_ch = _round_filters(1280, width)
         h = nn.Conv(head_ch, (1, 1), use_bias=False, name="head_conv",
                     dtype=self.dtype)(h)
@@ -239,5 +251,6 @@ class EfficientNet(nn.Module):
                          epsilon=1e-3, dtype=self.dtype)(h)
         h = nn.silu(h)
         if return_endpoints:
+            endpoints[f"reduction_{red}"] = h
             return h, endpoints
         return jnp.mean(h, axis=(1, 2))

@@ -117,10 +117,17 @@ class DFNet(nn.Module):
 
 
 def extract_target_features(dfnet: DFNet, variables, images: jnp.ndarray,
-                            H: int, W: int) -> jnp.ndarray:
+                            H: int, W: int,
+                            levels: tuple[int, ...] = (0,)) -> jnp.ndarray:
     """Single-stream DFNet feature extraction at (H, W) — the per-image
     target of the DFM loss (reference inference_pose_feature_extraction,
-    DFM_pose_refine.py:163-190). Returns level-0 stack (B, H, W, C)."""
+    DFM_pose_refine.py:163-190).
+
+    levels: hypercolumn levels to use (``feature_matching_lvl``,
+    dm/options.py:24-25; default [0]). Multiple levels are concatenated
+    along channels, the [L,B,C,H,W] -> [B,L*C,H,W] reshape of
+    preprocess_features_for_loss (DFM_pose_refine.py:97-106).
+    Returns (B, H, W, len(levels)*C)."""
     feats, _ = dfnet.apply(variables, images, return_feature=True,
                            return_pose=False, upsample_hw=(H, W))
-    return feats[0]
+    return jnp.concatenate([feats[l] for l in levels], axis=-1)

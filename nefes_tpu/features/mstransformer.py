@@ -78,7 +78,7 @@ class EncoderLayer(nn.Module):
                         name="self_attn")(qk, qk, h)
         h = nn.LayerNorm(name="norm2")(src)
         h = nn.Dense(self.ffn, name="linear1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.d_model, name="linear2")(h)
         return src + h
 
@@ -103,7 +103,7 @@ class DecoderLayer(nn.Module):
                                            memory)
         h = nn.LayerNorm(name="norm3")(tgt)
         h = nn.Dense(self.ffn, name="linear1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.d_model, name="linear2")(h)
         return tgt + h
 
@@ -162,7 +162,8 @@ class PoseRegressor(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.gelu(nn.Dense(1024, name="fc_h", dtype=self.dtype)(x))
+        h = nn.gelu(nn.Dense(1024, name="fc_h", dtype=self.dtype)(x),
+                    approximate=False)
         return nn.Dense(self.out_dim, name="fc_o")(h)
 
 
@@ -187,7 +188,8 @@ class MultiScenePoseRegressor(nn.Module):
                          (self.num_scenes, self.out_dim))
         wh, bh = w_h[scene_idx], b_h[scene_idx]          # (B, C, 1024)
         wo, bo = w_o[scene_idx], b_o[scene_idx]
-        h = nn.gelu(jnp.einsum("bc,bco->bo", x, wh) + bh)
+        h = nn.gelu(jnp.einsum("bc,bco->bo", x, wh) + bh,
+                    approximate=False)
         return jnp.einsum("bc,bco->bo", h, wo) + bo
 
 

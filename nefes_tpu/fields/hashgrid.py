@@ -100,7 +100,10 @@ class HashGridEncoding(nn.Module):
         for l in range(self.n_levels):
             res = self.resolutions[l]
             xs = x01 * res
-            x0 = jnp.floor(xs).astype(jnp.uint32)
+            # clamp the base cell to res-1 so the +1 corners stay in the
+            # (res+1)-wide dense tables at x01 == 1.0 exactly — OOB rows
+            # read as NaN (jnp.take fill mode) and 0*NaN poisons the lerp
+            x0 = jnp.minimum(jnp.floor(xs), res - 1).astype(jnp.uint32)
             frac = (xs - x0).astype(self.dtype)          # (..., 3)
             acc = 0.0
             for corner in range(8):

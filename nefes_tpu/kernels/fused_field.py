@@ -198,6 +198,12 @@ def _mm_t(g, w):
         preferred_element_type=jnp.float32)
 
 
+def _relu_mask(h):
+    """relu' from the post-activation value. f32 compare: the v5e VPU has
+    no bf16 cmpf (Mosaic: 'Target does not support this comparison')."""
+    return h.astype(jnp.float32) > 0.0
+
+
 def _embed_block(x, n_freqs, cd):
     """x (T, 3) f32 -> (emb (T, E) in cd, xs (T, 3F) f32 for backward).
 
@@ -342,7 +348,7 @@ def _bwd_kernel(spec, mode, need_dw, names, refs):
     if mode != "sigma":
         g_rf = cts["rgbfeat"][:]
         dde = dmat(g_rf, a["de"], "rgb_w", "rgb_b")
-        dzd = dde * (a["de"] > 0)
+        dzd = dde * _relu_mask(a["de"])
         d_final = dmat(dzd, a["final"], "dir_wh", "dir_b")
         if need_dw:
             dw["dir_wd"][:] += jax.lax.dot_general(
@@ -360,11 +366,11 @@ def _bwd_kernel(spec, mode, need_dw, names, refs):
         dt3 = (dmat(dzts, a["t3"], "ts_w", "ts_b")
                + dmat(dztr, a["t3"], "tr_w", "tr_b")
                + dmat(dztb, a["t3"], "tb_w", "tb_b"))
-        dzt3 = dt3 * (a["t3"] > 0)
+        dzt3 = dt3 * _relu_mask(a["t3"])
         dt2 = dmat(dzt3, a["t2"], "t3_w", "t3_b")
-        dzt2 = dt2 * (a["t2"] > 0)
+        dzt2 = dt2 * _relu_mask(a["t2"])
         dt1 = dmat(dzt2, a["t1"], "t2_w", "t2_b")
-        dzt1 = dt1 * (a["t1"] > 0)
+        dzt1 = dt1 * _relu_mask(a["t1"])
         d_final = d_final + dmat(dzt1, a["final"], "t1_wh", "t1_b")
         if need_dw:
             dw["t1_wd"][:] += jax.lax.dot_general(
@@ -379,7 +385,7 @@ def _bwd_kernel(spec, mode, need_dw, names, refs):
     # ---- xyz tower ----
     d_emb = jnp.zeros_like(a["emb"], dtype=jnp.float32)
     for i in range(spec.depth - 1, -1, -1):
-        dz = dh * (a[f"h{i}"] > 0)
+        dz = dh * _relu_mask(a[f"h{i}"])
         if i == 0:
             if need_dw:
                 dw["l0_we"][:] += jax.lax.dot_general(
@@ -456,7 +462,10 @@ def _run_fwd(spec, mode, interpret, weights, pts, dirs):
 
 def _run_bwd(spec, mode, need_dw, interpret, weights, pts, dirs, cts):
     n = pts.shape[0]
-    t = spec.tile
+    # the recompute-backward holds ~2x the forward's live activations;
+    # tiles over 512 blow the 16 MB VMEM budget, so bwd tiles are capped
+    # independently of the forward tile
+    t = min(spec.tile, 512)
     names = weight_names(spec)
     dims = _out_dims(spec, mode)
     onames = _out_names(mode)

@@ -46,31 +46,71 @@ def _crop(img):
 
 
 def apr_pose(dfnet: DFNet, dfnet_vars, image: jnp.ndarray,
-             svd_reg: bool = True) -> jnp.ndarray:
+             svd_reg: bool = True, freeze_bn: bool = True) -> jnp.ndarray:
     """APR forward: (H, W, 3) image -> (3, 4) pose
-    (inference_pose_regression, DFM_pose_refine.py:132-161)."""
-    _, pose12 = dfnet.apply(dfnet_vars, image[None], return_feature=False,
-                            return_pose=True)
+    (inference_pose_regression, DFM_pose_refine.py:132-161).
+
+    freeze_bn=True (the DFM configs' ``freezeBN``) keeps BatchNorm on
+    running stats; False runs BN in batch-stats mode, the reference's
+    un-frozen train() behaviour (utils/utils.py:51-61)."""
+    if freeze_bn:
+        _, pose12 = dfnet.apply(dfnet_vars, image[None],
+                                return_feature=False, return_pose=True)
+    else:
+        (_, pose12), _ = dfnet.apply(dfnet_vars, image[None],
+                                     return_feature=False, return_pose=True,
+                                     train_bn=True, mutable=["batch_stats"])
     pose = pose12.reshape(3, 4)
     return orthogonalize_rotation(pose) if svd_reg else pose
 
 
+def apr_pose_any(kind: str, module, variables, image: jnp.ndarray,
+                 svd_reg: bool = True, freeze_bn: bool = True,
+                 dataset_type: str = "7Scenes",
+                 pose_avg: jnp.ndarray | None = None) -> jnp.ndarray:
+    """apr_pose generalised over the zoo (the per-type dispatch of
+    inference_pose_regression, DFM_pose_refine.py:131-161). kind/module
+    are jit statics; MsTransformer needs dataset_type (+ pose_avg for
+    Cambridge) for its in-model coordinate conversion."""
+    if kind == "DFNet":
+        return apr_pose(module, variables, image, svd_reg, freeze_bn)
+    if kind == "MsTransformer":
+        from nefes_tpu.features.mstransformer import ems_pose_to_matrix
+        out = module.apply(variables, image[None])
+        pas = pose_avg if pose_avg is not None else jnp.eye(4)[:3]
+        pose = ems_pose_to_matrix(out["pose"], dataset_type, pas)[0]
+    else:  # PoseNet/PoseNetV2/EfficientNetB3/MapNet: (B, 12) heads
+        if freeze_bn:
+            p12 = module.apply(variables, image[None])
+        else:
+            p12, _ = module.apply(variables, image[None], train=True,
+                                  mutable=["batch_stats"])
+        pose = p12.reshape(3, 4)
+    return orthogonalize_rotation(pose) if svd_reg else pose
+
+
 @partial(jax.jit, static_argnames=("model", "dfnet", "cfg", "rcfg",
-                                   "hwf_render", "hwf_full", "svd_reg"))
+                                   "hwf_render", "hwf_full", "svd_reg",
+                                   "freeze_bn", "apr_kind", "dataset_type"))
 def refine_apr_single(model: NeFeSModel, variables, dfnet: DFNet,
                       dfnet_vars, image: jnp.ndarray,
                       target_feat: jnp.ndarray, hist: jnp.ndarray,
                       ws_vec: jnp.ndarray, hwf_render: tuple,
                       hwf_full: tuple, near: float, far: float,
                       cfg: RenderConfig, rcfg: RefineConfig,
-                      svd_reg: bool = True, mask: jnp.ndarray | None = None):
+                      svd_reg: bool = True, mask: jnp.ndarray | None = None,
+                      freeze_bn: bool = True, apr_kind: str = "DFNet",
+                      dataset_type: str = "7Scenes",
+                      pose_avg: jnp.ndarray | None = None):
     """Refine the APR on ONE query image.
 
     image: (H, W, 3); target_feat: (H, W, C) full-res DFNet features
     (extracted once outside, DFM_APR_refine.py:216-221). mask: optional
     (H, W) semantic validity mask (Cambridge, semantic=True configs) —
     invalid pixels are excluded from the DFM cosine loss
-    (masked_feature_loss, DFM_pose_refine.py:257-288).
+    (masked_feature_loss, DFM_pose_refine.py:257-288). dfnet/dfnet_vars
+    hold the APR being refined — any zoo family via apr_kind (DFNet is the
+    paper configuration).
 
     Returns dict with refined/initial poses (dataset frame), per-iter
     losses, and the verification metrics (init/end psnr+ssim).
@@ -87,7 +127,8 @@ def refine_apr_single(model: NeFeSModel, variables, dfnet: DFNet,
         dv = {"params": apr_params}
         if bn_stats is not None:
             dv["batch_stats"] = bn_stats
-        pose = apr_pose(dfnet, dv, image, svd_reg)
+        pose = apr_pose_any(apr_kind, dfnet, dv, image, svd_reg, freeze_bn,
+                            dataset_type, pose_avg)
         sc, sc2, move = ws_vec[0], ws_vec[1], ws_vec[2:5]
         t = (pose[:3, 3] * sc + move) * sc2
         nerf_pose = jnp.concatenate([pose[:3, :3], t[:, None]], -1)
@@ -122,8 +163,10 @@ def refine_apr_single(model: NeFeSModel, variables, dfnet: DFNet,
     dv_final = {"params": apr_final}
     if bn_stats is not None:
         dv_final["batch_stats"] = bn_stats
-    refined_pose = apr_pose(dfnet, dv_final, image, svd_reg)
-    initial_pose = apr_pose(dfnet, dfnet_vars, image, svd_reg)
+    refined_pose = apr_pose_any(apr_kind, dfnet, dv_final, image, svd_reg,
+                                True, dataset_type, pose_avg)
+    initial_pose = apr_pose_any(apr_kind, dfnet, dfnet_vars, image, svd_reg,
+                                True, dataset_type, pose_avg)
 
     return {
         "refined_pose": refined_pose,

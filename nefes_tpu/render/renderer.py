@@ -147,6 +147,9 @@ def render_rays(coarse_fn: FieldFn, fine_fn: FieldFn | None,
             "disp0": out_c["disp"], "acc0": out_c["acc"],
             "beta": out_f["beta"],
             "transient_sigmas": out_f["transient_sigmas"],
+            # raw fine densities for the sparsity regularizers
+            # (aux_losses.sigma_sparsity_loss*, reference losses.py:277-282)
+            "static_sigmas": raw_f["static_sigma"],
         })
     return ret
 

@@ -41,6 +41,62 @@ NUM_CROPS = 7           # run_nefes.py:87
 CROP_SIZE = 16          # run_nefes.py:88
 
 
+@dataclass(frozen=True)
+class AuxConfig:
+    """Auxiliary regularizer switches (reference options.py:52-55,78-79,
+    aux math in nefes_tpu/train/aux_losses.py). Hashable jit static."""
+
+    tvloss: bool = False
+    tvloss_w: float = 1e-6
+    l1normloss: bool = False        # hash-grid tables only
+    l1normloss_w: float = 1e-6
+    sigma_sparsity: bool = False
+    sigma_sparsity2: bool = False
+    bound: float = 4.0              # world box half-side for the TV cube
+
+    @classmethod
+    def from_options(cls, opts, far: float) -> "AuxConfig":
+        return cls(tvloss=opts.tvloss, tvloss_w=opts.tvloss_w,
+                   l1normloss=opts.l1normloss,
+                   l1normloss_w=opts.l1normloss_w,
+                   sigma_sparsity=opts.sigma_sparsity_loss,
+                   sigma_sparsity2=opts.sigma_sparsity_loss2,
+                   bound=float(far))
+
+    @property
+    def any_on(self) -> bool:
+        return (self.tvloss or self.l1normloss or self.sigma_sparsity
+                or self.sigma_sparsity2)
+
+
+def aux_regularizers(aux: "AuxConfig", model: NeFeSModel, params,
+                     out: dict, rng: jax.Array,
+                     cfg: RenderConfig) -> jnp.ndarray:
+    """Sum of enabled aux losses. TV samples density over a random
+    sub-cube of [-bound, bound]^3 (the reference's normalized hash domain,
+    losses.py:226-265); sparsity acts on the raw fine sigmas of the
+    current batch."""
+    from nefes_tpu.fields.embedder import embed
+    from nefes_tpu.train.aux_losses import (
+        sigma_sparsity_loss, sigma_sparsity_loss2, total_variation_loss,
+    )
+    loss = jnp.zeros(())
+    if aux.tvloss:
+        def density(x01, fn):
+            xyz = (x01 * 2.0 - 1.0) * aux.bound
+            return fn(params, embed(xyz, cfg.xyz_embed), None, True,
+                      False)["static_sigma"]
+        loss = loss + aux.tvloss_w * total_variation_loss(
+            rng, partial(density, fn=model.coarse_fn),
+            partial(density, fn=model.fine_fn),
+            sample_resolution=(64, 64, 64))
+    if aux.sigma_sparsity:
+        loss = loss + jnp.mean(sigma_sparsity_loss(out["static_sigmas"]))
+    if aux.sigma_sparsity2:
+        loss = loss + sigma_sparsity_loss2(out["static_sigmas"])
+    return loss
+
+
 def stage_for_epoch(new_schedule: int, epoch: int) -> int:
     if new_schedule != 2:
         return 0
@@ -112,17 +168,18 @@ def _finalize_rgb(model: NeFeSModel, params, out: dict, hists):
 
 
 @partial(jax.jit, static_argnames=("model", "cfg", "tx", "n_rand", "stage",
-                                   "hwf"))
+                                   "hwf", "aux"))
 def train_step_rays(model: NeFeSModel, cfg: RenderConfig,
                     tx: optax.GradientTransformation,
                     state: TrainState, batch: dict, rng: jax.Array,
                     lr: jnp.ndarray, hwf: tuple, near: float, far: float,
-                    n_rand: int = 1536, stage: int = 0):
+                    n_rand: int = 1536, stage: int = 0,
+                    aux: AuxConfig = AuxConfig()):
     """One random-ray step. batch: rgb (B,H,W,3) [render-scale], poses
     (B,3,4), hists (B,bins), feat (B,H,W,F) when stage>=1, mask optional."""
     H, W, focal = hwf
     B = batch["poses"].shape[0]
-    rng_sel, rng_render = jax.random.split(rng)
+    rng_sel, rng_render, rng_aux = jax.random.split(rng, 3)
     sel_keys = jax.random.split(rng_sel, B)
     mask = batch.get("mask")
     px, py, idx = jax.vmap(
@@ -139,13 +196,16 @@ def train_step_rays(model: NeFeSModel, cfg: RenderConfig,
                                batch["hists"], H, W, focal, near, far,
                                rng_render, cfg)
         out = _finalize_rgb(model, params, out, batch["hists"])
-        loss, aux = nefes_training_loss(out, target_rgb, target_feat,
-                                        fusion_out=None,
-                                        stage=min(stage, 1))
-        aux["psnr"] = psnr(out["rgb"], target_rgb)
-        return loss, aux
+        loss, metrics = nefes_training_loss(out, target_rgb, target_feat,
+                                            fusion_out=None,
+                                            stage=min(stage, 1))
+        if aux.any_on:
+            loss = loss + aux_regularizers(aux, model, params, out,
+                                           rng_aux, cfg)
+        metrics["psnr"] = psnr(out["rgb"], target_rgb)
+        return loss, metrics
 
-    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+    (loss, aux_out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params)
     new_opt = state.opt_state
     new_opt.hyperparams["learning_rate"] = lr
@@ -153,7 +213,8 @@ def train_step_rays(model: NeFeSModel, cfg: RenderConfig,
     new_params = optax.apply_updates(state.params, updates)
     new_vars = dict(state.variables)
     new_vars["params"] = new_params
-    return state.replace(variables=new_vars, opt_state=new_opt), loss, aux
+    return (state.replace(variables=new_vars, opt_state=new_opt), loss,
+            aux_out)
 
 
 @partial(jax.jit, static_argnames=("model", "cfg", "tx", "stage", "hwf"))
