@@ -133,18 +133,27 @@ class MobileNetV2(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_tap: int = -1):
+        """return_tap >= 0: also return that block's output map (the
+        legacy feature-tap APRs read torchvision features[17] == block 16,
+        reference feature/model.py:56-63)."""
         h = ConvBN(32, kernel=3, stride=2, name="stem",
                    dtype=self.dtype)(x, train)
         idx = 0
+        tap = None
         for expand, out, reps, stride in _MBV2_PLAN:
             for i in range(reps):
                 h = InvertedResidual(out, stride if i == 0 else 1, expand,
                                      dtype=self.dtype,
                                      name=f"block_{idx}")(h, train)
+                if idx == return_tap:
+                    tap = h
                 idx += 1
         h = ConvBN(1280, kernel=1, name="head", dtype=self.dtype)(h, train)
-        return jnp.mean(h, axis=(1, 2))
+        pooled = jnp.mean(h, axis=(1, 2))
+        if return_tap >= 0:
+            return pooled, tap
+        return pooled
 
 
 # ----------------------------------------------------------------------

@@ -73,6 +73,61 @@ class PoseNetRes34(nn.Module):
         return nn.Dense(12, name="fc_pose")(g)
 
 
+class PoseNetV2Feat(nn.Module):
+    """Legacy feature-tap PoseNetV2 (reference feature/model.py:10-70):
+    pose head + the torchvision features[17]-block map for DFM training.
+
+    Returns (feat_levels, pose): feat_levels = [(S, B, h, w, C)] with
+    S=1 single-stream or S=2 target/render siamese split (the
+    _aggregate_feature2 layout, NHWC here)."""
+
+    feat_dim: int = 12
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, return_feature: bool = True,
+                 single_stream: bool = True):
+        g, tap = MobileNetV2(dtype=self.dtype, name="backbone")(
+            _normalize(x), train, return_tap=16)  # features[17] == block 16
+        pose = nn.Dense(self.feat_dim, name="fc_pose")(g)
+        if not return_feature:
+            return [], pose
+        if single_stream:
+            feats = tap[None]
+        else:
+            b = tap.shape[0] // 2
+            feats = jnp.stack([tap[:b], tap[b:]])
+        return [feats], pose
+
+
+class EfficientNetB3Feat(nn.Module):
+    """Legacy feature-tap EfficientNet-B3 APR (feature/model.py:72-126):
+    feature_block selects a reduction endpoint (6 = head output)."""
+
+    feat_dim: int = 12
+    feature_block: int = 6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, return_feature: bool = True,
+                 single_stream: bool = True):
+        head, endpoints = EfficientNet(variant="b3", dtype=self.dtype,
+                                       name="backbone")(
+            _normalize(x), train, return_endpoints=True)
+        fe = head if self.feature_block == 6 else \
+            endpoints[f"reduction_{self.feature_block}"]
+        pose = nn.Dense(self.feat_dim, name="fc_pose")(
+            jnp.mean(head, axis=(1, 2)))
+        if not return_feature:
+            return [], pose
+        if single_stream:
+            feats = fe[None]
+        else:
+            b = fe.shape[0] // 2
+            feats = jnp.stack([fe[:b], fe[b:]])
+        return [feats], pose
+
+
 class PoseNetMapNetStyle(nn.Module):
     """MapNet-paper PoseNet: ResNet34 -> fc(2048) -> {fc_xyz(3),
     fc_wpqr(3 logq)} (pose_model.py:297-333)."""

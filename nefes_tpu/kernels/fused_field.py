@@ -188,14 +188,20 @@ def pack_params(tower_params: dict, spec: FieldSpec) -> tuple:
 # --------------------------------------------------------------------------
 
 def _mm(a, w, prefer=jnp.float32):
-    return jnp.dot(a, w[:], preferred_element_type=prefer)
+    # Mosaic requires 32-bit matmul accumulators; `prefer` below f32 means
+    # "accumulate f32, round to `prefer` on the way out" (the convert sits
+    # in the matmul epilogue, keeping bias/relu off the f32 VPU path)
+    out = jnp.dot(a, w[:], preferred_element_type=jnp.float32)
+    return out if prefer == jnp.float32 else out.astype(prefer)
 
 
-def _mm_t(g, w):
-    """g @ w^T without materializing the transpose (contract out-dims)."""
-    return jax.lax.dot_general(
+def _mm_t(g, w, prefer=jnp.float32):
+    """g @ w^T without materializing the transpose (contract out-dims).
+    f32 accumulation (Mosaic requirement), rounded to `prefer`."""
+    out = jax.lax.dot_general(
         g, w[:], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
+    return out if prefer == jnp.float32 else out.astype(prefer)
 
 
 def _relu_mask(h):
@@ -234,16 +240,22 @@ def _forward_tile(spec: FieldSpec, mode: str, w, pts, dirs):
     acts["xs"] = xs
     acts["emb"] = emb
 
-    # NOTE for the backward: only the post-relu bf16 activations are kept
-    # (relu masks are recovered as h > 0); keeping the f32 pre-activations
-    # too blew the 16 MB VMEM budget at tile >= 1024.
+    # Hidden layers accumulate in the pack dtype (MXU still sums f32
+    # internally and rounds on output): bias-add + relu stay bf16 — the
+    # f32 elementwise variant doubled VPU work and made the kernel SLOWER
+    # than the XLA path (runtime/kernel_sweep.py). This matches flax
+    # Dense(dtype=bf16) semantics exactly. Only the heads accumulate f32.
+    # NOTE for the backward: only the post-relu activations are kept
+    # (relu masks are recovered as h > 0); keeping pre-activations too
+    # blew the 16 MB VMEM budget at tile >= 1024.
     h = emb
     for i in range(spec.depth):
-        z = _mm(h if i else emb, w[f"l{i}_wh" if i else f"l{i}_we"])
+        z = _mm(h if i else emb, w[f"l{i}_wh" if i else f"l{i}_we"],
+                prefer=cd)
         if i and i in spec.skips:
-            z = z + _mm(emb, w[f"l{i}_we"])
-        z = z + w[f"l{i}_b"][:]
-        h = jnp.maximum(z, 0.0).astype(cd)
+            z = z + _mm(emb, w[f"l{i}_we"], prefer=cd)
+        z = z + w[f"l{i}_b"][:].astype(cd)
+        h = jnp.maximum(z, 0.0)
         acts[f"h{i}"] = h
 
     zs = _mm(h, w["sig_w"]) + w["sig_b"][:]
@@ -252,26 +264,28 @@ def _forward_tile(spec: FieldSpec, mode: str, w, pts, dirs):
     if mode == "sigma":
         return out, acts
 
-    final = (_mm(h, w["fin_w"]) + w["fin_b"][:]).astype(cd)
+    final = _mm(h, w["fin_w"], prefer=cd) + w["fin_b"][:].astype(cd)
     acts["final"] = final
     d = dirs.astype(jnp.float32)
     embd, ds = _embed_block(d, spec.n_freqs_dir, cd)
     acts["ds"] = ds
     acts["embd"] = embd
 
-    zd = _mm(final, w["dir_wh"]) + _mm(embd, w["dir_wd"]) + w["dir_b"][:]
-    de = jnp.maximum(zd, 0.0).astype(cd)
+    zd = (_mm(final, w["dir_wh"], prefer=cd)
+          + _mm(embd, w["dir_wd"], prefer=cd) + w["dir_b"][:].astype(cd))
+    de = jnp.maximum(zd, 0.0)
     acts["de"] = de
     out["rgbfeat"] = _mm(de, w["rgb_w"]) + w["rgb_b"][:]
     if mode != "transient":
         return out, acts
 
-    zt1 = _mm(final, w["t1_wh"]) + _mm(embd, w["t1_wd"]) + w["t1_b"][:]
-    t1 = jnp.maximum(zt1, 0.0).astype(cd)
-    zt2 = _mm(t1, w["t2_w"]) + w["t2_b"][:]
-    t2 = jnp.maximum(zt2, 0.0).astype(cd)
-    zt3 = _mm(t2, w["t3_w"]) + w["t3_b"][:]
-    t3 = jnp.maximum(zt3, 0.0).astype(cd)
+    zt1 = (_mm(final, w["t1_wh"], prefer=cd)
+           + _mm(embd, w["t1_wd"], prefer=cd) + w["t1_b"][:].astype(cd))
+    t1 = jnp.maximum(zt1, 0.0)
+    zt2 = _mm(t1, w["t2_w"], prefer=cd) + w["t2_b"][:].astype(cd)
+    t2 = jnp.maximum(zt2, 0.0)
+    zt3 = _mm(t2, w["t3_w"], prefer=cd) + w["t3_b"][:].astype(cd)
+    t3 = jnp.maximum(zt3, 0.0)
     acts.update(t1=t1, t2=t2, t3=t3)
 
     zts = _mm(t3, w["ts_w"]) + w["ts_b"][:]
@@ -329,14 +343,17 @@ def _bwd_kernel(spec, mode, need_dw, names, refs):
             dw[name][:] += val
 
     def dmat(g, act, wname, bname):
-        """Backprop one dense: returns d_act; accumulates dW/db."""
+        """Backprop one dense: returns d_act (pack dtype — the f32
+        elementwise chain was the kernel's VPU bottleneck); accumulates
+        dW/db in f32."""
         if need_dw:
             dw[wname][:] += jax.lax.dot_general(
                 act, g.astype(act.dtype),
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(dw[wname].dtype)
-            dw[bname][:] += jnp.sum(g, axis=0, keepdims=True)
-        return _mm_t(g.astype(cd), w[wname])
+            dw[bname][:] += jnp.sum(g.astype(jnp.float32), axis=0,
+                                    keepdims=True)
+        return _mm_t(g.astype(cd), w[wname], prefer=cd)
 
     # ---- heads ----
     g_sig = cts["sigma"][:]
@@ -355,7 +372,7 @@ def _bwd_kernel(spec, mode, need_dw, names, refs):
                 a["embd"], dzd.astype(a["embd"].dtype),
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(dw["dir_wd"].dtype)
-        d_embd = _mm_t(dzd.astype(cd), w["dir_wd"])
+        d_embd = _mm_t(dzd.astype(cd), w["dir_wd"]).astype(jnp.float32)
 
     if mode == "transient":
         g_tr = cts["transient"][:]
@@ -377,7 +394,8 @@ def _bwd_kernel(spec, mode, need_dw, names, refs):
                 a["embd"], dzt1.astype(a["embd"].dtype),
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(dw["t1_wd"].dtype)
-        d_embd = d_embd + _mm_t(dzt1.astype(cd), w["t1_wd"])
+        d_embd = d_embd + _mm_t(dzt1.astype(cd),
+                                w["t1_wd"]).astype(jnp.float32)
 
     if d_final is not None:
         dh = dh + dmat(d_final, a[f"h{spec.depth - 1}"], "fin_w", "fin_b")
@@ -393,8 +411,10 @@ def _bwd_kernel(spec, mode, need_dw, names, refs):
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(
                         dw["l0_we"].dtype)
-                dw["l0_b"][:] += jnp.sum(dz, axis=0, keepdims=True)
-            d_emb = d_emb + _mm_t(dz.astype(cd), w["l0_we"])
+                dw["l0_b"][:] += jnp.sum(dz.astype(jnp.float32), axis=0,
+                                         keepdims=True)
+            d_emb = d_emb + _mm_t(dz.astype(cd),
+                                  w["l0_we"]).astype(jnp.float32)
         else:
             dh = dmat(dz, a[f"h{i - 1}"], f"l{i}_wh", f"l{i}_b")
             if i in spec.skips:
@@ -404,7 +424,8 @@ def _bwd_kernel(spec, mode, need_dw, names, refs):
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32).astype(
                             dw[f"l{i}_we"].dtype)
-                d_emb = d_emb + _mm_t(dz.astype(cd), w[f"l{i}_we"])
+                d_emb = d_emb + _mm_t(dz.astype(cd),
+                                      w[f"l{i}_we"]).astype(jnp.float32)
 
     # ---- embedding chain rule: d_emb -> d_pts (elementwise f32; see
     # _embed_block for why no MXU here) ----
