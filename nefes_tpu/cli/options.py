@@ -119,6 +119,10 @@ class Options:
     render_test: bool = False
     eval: bool = False
 
+    # profiling (utils/profiling.py; replaces the reference's
+    # PROFILE_TIME prints, rendering.py:18)
+    profile_dir: str = ""          # jax.profiler trace output dir
+
     def render_hw(self, H: int, W: int) -> tuple[int, int]:
         return int(H // self.tinyscale), int(W // self.tinyscale)
 

@@ -195,28 +195,37 @@ def main(argv=None):
     print(f"training {opts.expname}: {n} views at {h}x{w}, "
           f"schedule={opts.new_schedule}, epochs={opts.epochs}")
 
+    import contextlib
+    from nefes_tpu.utils.profiling import trace
+    profile_epoch = int(state.epoch)  # trace the first epoch when asked
+
     t0 = time.time()
     for epoch in range(int(state.epoch), opts.epochs + 1):
         stage = stage_for_epoch(opts.new_schedule, epoch)
         lr = jnp.asarray(lr_for_epoch(epoch, opts.lrate, opts.lrate_decay))
         perm = order_rng.permutation(n)
-        for i in range(0, n - opts.batch_size + 1, opts.batch_size):
-            idx = perm[i:i + opts.batch_size]
-            batch = {"rgb": jnp.asarray(target_rgb[idx]),
-                     "poses": jnp.asarray(scene.poses[idx]),
-                     "hists": jnp.asarray(scene.hists[idx])}
-            if stage >= 1:
-                batch["feat"] = jnp.asarray(target_feat[idx])
-            if opts.semantic and scene.masks is not None:
-                batch["mask"] = jnp.asarray(scene.masks[idx])
-            rng, k = jax.random.split(rng)
-            if stage == 2:
-                state, loss, aux = train_step_patch(
-                    model, rcfg, tx, state, batch, k, lr, hwf, near, far)
-            else:
-                state, loss, aux = train_step_rays(
-                    model, rcfg, tx, state, batch, k, lr, hwf, near, far,
-                    n_rand=opts.N_rand, stage=stage, aux=aux_cfg)
+        epoch_trace = (trace(opts.profile_dir)
+                       if opts.profile_dir and epoch == profile_epoch
+                       else contextlib.nullcontext())
+        with epoch_trace:
+            for i in range(0, n - opts.batch_size + 1, opts.batch_size):
+                idx = perm[i:i + opts.batch_size]
+                batch = {"rgb": jnp.asarray(target_rgb[idx]),
+                         "poses": jnp.asarray(scene.poses[idx]),
+                         "hists": jnp.asarray(scene.hists[idx])}
+                if stage >= 1:
+                    batch["feat"] = jnp.asarray(target_feat[idx])
+                if opts.semantic and scene.masks is not None:
+                    batch["mask"] = jnp.asarray(scene.masks[idx])
+                rng, k = jax.random.split(rng)
+                if stage == 2:
+                    state, loss, aux = train_step_patch(
+                        model, rcfg, tx, state, batch, k, lr, hwf, near,
+                        far)
+                else:
+                    state, loss, aux = train_step_rays(
+                        model, rcfg, tx, state, batch, k, lr, hwf, near,
+                        far, n_rand=opts.N_rand, stage=stage, aux=aux_cfg)
         state = state.replace(epoch=jnp.asarray(epoch + 1, jnp.int32))
 
         if epoch % opts.i_print == 0:
