@@ -108,6 +108,8 @@ class Options:
     lr_r: float = 0.01
     lr_t: float = 0.1
     opt_iter: int = 50
+    refine_batch: int = 8   # frames refined per launch (1 = serial like
+    #                         the reference; vmapped scan otherwise)
     no_verification_step: bool = False
     per_pixel: bool = False
     svd_reg: bool = False

@@ -135,21 +135,40 @@ def main(argv=None):
                                  method="nearest")
             masks_dev = m[..., 0]
 
-        for i in range(n):
-            out = refine_apr_single(
-                model, variables, apr_module, apr_vars, images_dev[i],
-                targets[i], hists_dev[i],
-                ws_vec, hwf_render, (test.H, test.W, float(test.focal)),
-                near, far, rcfg_render, rcfg, svd_reg=opts.svd_reg,
-                mask=None if masks_dev is None else masks_dev[i],
-                freeze_bn=opts.freezeBN, apr_kind=opts.PoseEstimatorType,
-                dataset_type=opts.dataset_type,
-                pose_avg=None if pose_avg is None else jnp.asarray(pose_avg))
-            pose = out["refined_pose"] if opts.no_verification_step \
-                else apply_verification(out)
-            out_poses[i] = np.asarray(pose)
-            results[i] = pose_errors(out_poses[i][None],
-                                     test.poses[i][None])[0]
+        from nefes_tpu.refine import refine_apr_batch
+        kw = dict(svd_reg=opts.svd_reg, freeze_bn=opts.freezeBN,
+                  apr_kind=opts.PoseEstimatorType,
+                  dataset_type=opts.dataset_type,
+                  pose_avg=None if pose_avg is None
+                  else jnp.asarray(pose_avg))
+        hwf_full = (test.H, test.W, float(test.focal))
+        B = max(1, opts.refine_batch)
+        for i in range(0, n, B):
+            sl = slice(i, min(i + B, n))
+            nb = sl.stop - sl.start
+            if nb == 1 or B == 1:
+                for j in range(sl.start, sl.stop):
+                    out = refine_apr_single(
+                        model, variables, apr_module, apr_vars,
+                        images_dev[j], targets[j], hists_dev[j], ws_vec,
+                        hwf_render, hwf_full, near, far, rcfg_render,
+                        rcfg,
+                        mask=None if masks_dev is None else masks_dev[j],
+                        **kw)
+                    pose = out["refined_pose"] if opts.no_verification_step \
+                        else apply_verification(out)
+                    out_poses[j] = np.asarray(pose)
+            else:
+                out = refine_apr_batch(
+                    model, variables, apr_module, apr_vars,
+                    images_dev[sl], targets[sl], hists_dev[sl], ws_vec,
+                    hwf_render, hwf_full, near, far, rcfg_render, rcfg,
+                    masks=None if masks_dev is None else masks_dev[sl],
+                    **kw)
+                poses = out["refined_pose"] if opts.no_verification_step \
+                    else apply_verification(out)
+                out_poses[sl] = np.asarray(poses)
+            results[sl] = pose_errors(out_poses[sl], test.poses[sl])
             if i % 10 == 0:
                 print(f"renders {i}/total {n}", flush=True)
     else:  # pose_only == 3: APR init poses then SE(3) delta refinement
@@ -174,7 +193,7 @@ def main(argv=None):
             targets.append(np.asarray(f))
         targets = np.concatenate(targets)
 
-        B = 8  # refine 8 cameras per launch
+        B = max(1, opts.refine_batch)  # cameras refined per launch
         for i in range(0, n, B):
             sl = slice(i, min(i + B, n))
             refined, _ = refine_poses_batch(

@@ -179,7 +179,37 @@ def refine_apr_single(model: NeFeSModel, variables, dfnet: DFNet,
 
 def apply_verification(result: dict) -> jnp.ndarray:
     """The verification fail-safe (DFM_APR_refine.py:242-250): retreat to
-    the initial pose if rendered-RGB PSNR or SSIM degraded over the run."""
+    the initial pose if rendered-RGB PSNR or SSIM degraded over the run.
+    Works on single results and batched (leading B) results."""
     retreat = jnp.logical_or(result["end_psnr"] < result["init_psnr"],
                              result["end_ssim"] < result["init_ssim"])
+    retreat = retreat.reshape(retreat.shape + (1,) * (
+        result["refined_pose"].ndim - retreat.ndim))
     return jnp.where(retreat, result["initial_pose"], result["refined_pose"])
+
+
+def refine_apr_batch(model: NeFeSModel, variables, dfnet, dfnet_vars,
+                     images, targets, hists, ws_vec, hwf_render: tuple,
+                     hwf_full: tuple, near: float, far: float,
+                     cfg: RenderConfig, rcfg: RefineConfig,
+                     svd_reg: bool = True, masks=None,
+                     freeze_bn: bool = True, apr_kind: str = "DFNet",
+                     dataset_type: str = "7Scenes", pose_avg=None) -> dict:
+    """vmap mode-2 refinement across B query frames — B independent
+    APR-weight optimisations in ONE launch (the reference runs frames
+    serially, DFM_APR_refine.py:204; batching fills the MXU with B x the
+    sample count and amortises every fixed cost). Carries B copies of the
+    APR params + Adam state; size accordingly (DFNet/VGG16: ~180 MB HBM
+    per frame in the batch)."""
+    kw = dict(svd_reg=svd_reg, freeze_bn=freeze_bn, apr_kind=apr_kind,
+              dataset_type=dataset_type, pose_avg=pose_avg)
+
+    if masks is None:
+        fn = lambda img, tgt, hist: refine_apr_single(
+            model, variables, dfnet, dfnet_vars, img, tgt, hist, ws_vec,
+            hwf_render, hwf_full, near, far, cfg, rcfg, **kw)
+        return jax.vmap(fn)(images, targets, hists)
+    fn = lambda img, tgt, hist, m: refine_apr_single(
+        model, variables, dfnet, dfnet_vars, img, tgt, hist, ws_vec,
+        hwf_render, hwf_full, near, far, cfg, rcfg, mask=m, **kw)
+    return jax.vmap(fn)(images, targets, hists, masks)

@@ -1,0 +1,52 @@
+"""Batched mode-2 refinement == per-frame refinement (the vmap carries
+independent APR-weight optimisations; reference runs frames serially,
+DFM_APR_refine.py:204)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nefes_tpu.features.dfnet import DFNet
+from nefes_tpu.refine import (
+    RefineConfig, apply_verification, refine_apr_batch, refine_apr_single,
+)
+from nefes_tpu.train.model import ModelConfig, NeFeSModel
+
+HW = (24, 32)
+
+
+def test_batched_mode2_matches_serial():
+    cfg = ModelConfig.tiny()
+    model = NeFeSModel(cfg)
+    variables = model.init_variables(jax.random.key(0))
+    dfnet = DFNet(output_dim=cfg.feature_dim)
+    dfvars = dfnet.init(jax.random.key(1), jnp.zeros((1, *HW, 3)),
+                        upsample_hw=HW)
+    rng = np.random.default_rng(0)
+    B = 2
+    images = jnp.asarray(rng.uniform(size=(B, *HW, 3)).astype(np.float32))
+    targets = jnp.asarray(rng.normal(
+        size=(B, *HW, cfg.feature_dim)).astype(np.float32))
+    hists = jnp.zeros((B, 10))
+    ws_vec = jnp.asarray([1.0, 1.0, 0.0, 0.0, 0.0])
+    rc = cfg.render_config(n_samples=4, n_importance=4, perturb=False,
+                           output_transient=False).test()
+    rcfg = RefineConfig(opt_iter=2, learning_rate=1e-4)
+    args = (ws_vec, (6, 8, 6.0), (*HW, 24.0), 0.3, 4.0, rc, rcfg)
+
+    singles = [refine_apr_single(model, variables, dfnet, dfvars,
+                                 images[i], targets[i], hists[i], *args)
+               for i in range(B)]
+    batched = refine_apr_batch(model, variables, dfnet, dfvars, images,
+                               targets, hists, *args)
+
+    for i in range(B):
+        np.testing.assert_allclose(
+            np.asarray(batched["refined_pose"][i]),
+            np.asarray(singles[i]["refined_pose"]), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(batched["losses"][i]),
+            np.asarray(singles[i]["losses"]), rtol=2e-4, atol=2e-5)
+
+    verified = apply_verification(batched)
+    assert verified.shape == (B, 3, 4)
