@@ -55,25 +55,43 @@ def spherical_harmonics_deg4(d: jnp.ndarray) -> jnp.ndarray:
 
 
 class HashGridEncoding(nn.Module):
-    """Multiresolution hash encoding: (..., 3) in [0,1] -> (..., L·F)."""
+    """Multiresolution hash encoding: (..., 3) in [0,1] -> (..., L·F).
+
+    tcnn_exact=True reproduces tiny-cuda-nn's GridEncoding bit-layout so
+    converted tcnn checkpoints line up: per-level scale s_l = b^l·base - 1
+    with resolution ceil(s_l)+1, the +0.5 half-cell sample offset, dense
+    levels indexed x-fastest (stride order), and table rows 8-aligned.
+    The spatial hash (instant-ngp Eq. 4 primes) is shared by both modes.
+    """
 
     n_levels: int = 16            # hash_level (options.py:49)
     features_per_level: int = 2
     log2_table_size: int = 19
     base_resolution: int = 16
     max_resolution: int = 2048
+    tcnn_exact: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         L, T = self.n_levels, 2 ** self.log2_table_size
         growth = np.exp(np.log(self.max_resolution / self.base_resolution)
                         / (L - 1))
-        self.resolutions = tuple(
-            int(np.floor(self.base_resolution * growth ** l))
-            for l in range(L))
-        # per-level table rows: dense when the full grid fits (tcnn rule)
-        self.table_sizes = tuple(min((r + 1) ** 3, T)
-                                 for r in self.resolutions)
+        if self.tcnn_exact:
+            scales = [growth ** l * self.base_resolution - 1.0
+                      for l in range(L)]
+            self.resolutions = tuple(int(np.ceil(s)) + 1 for s in scales)
+            self.scales = tuple(scales)
+            self.table_sizes = tuple(
+                int(-(-min(r ** 3, T) // 8) * 8)      # next multiple of 8
+                for r in self.resolutions)
+        else:
+            self.resolutions = tuple(
+                int(np.floor(self.base_resolution * growth ** l))
+                for l in range(L))
+            self.scales = tuple(float(r) for r in self.resolutions)
+            # per-level table rows: dense when the full grid fits
+            self.table_sizes = tuple(min((r + 1) ** 3, T)
+                                     for r in self.resolutions)
         self.tables = [
             self.param(f"level_{l}", nn.initializers.uniform(2e-4),
                        (self.table_sizes[l], self.features_per_level))
@@ -84,7 +102,10 @@ class HashGridEncoding(nn.Module):
         """Integer corner coords (..., 3) -> table row indices."""
         res = self.resolutions[level]
         size = self.table_sizes[level]
-        if size == (res + 1) ** 3:  # dense level
+        if self.tcnn_exact and size >= res ** 3:   # dense, x-fastest
+            return (coords[..., 2] * res + coords[..., 1]) * res \
+                + coords[..., 0]
+        if not self.tcnn_exact and size == (res + 1) ** 3:  # dense level
             return (coords[..., 0] * (res + 1) + coords[..., 1]) * (res + 1) \
                 + coords[..., 2]
         p1 = jnp.uint32(_PRIMES[1])
@@ -99,6 +120,24 @@ class HashGridEncoding(nn.Module):
         x01 = jnp.clip(x01, 0.0, 1.0)
         for l in range(self.n_levels):
             res = self.resolutions[l]
+            if self.tcnn_exact:
+                # tcnn: pos = x*scale + 0.5; corners floor(pos)+{0,1}
+                # within a res-wide grid
+                xs = x01 * self.scales[l] + 0.5
+                x0 = jnp.minimum(jnp.floor(xs), res - 2).astype(jnp.uint32)
+                frac = (xs - x0).astype(self.dtype)
+                acc = 0.0
+                for corner in range(8):
+                    offs = jnp.asarray([(corner >> 2) & 1,
+                                        (corner >> 1) & 1,
+                                        corner & 1], jnp.uint32)
+                    idx = self._index(x0 + offs, l)
+                    w = jnp.prod(jnp.where(offs.astype(bool), frac,
+                                           1.0 - frac), axis=-1)
+                    acc = acc + w[..., None] * jnp.take(
+                        self.tables[l].astype(self.dtype), idx, axis=0)
+                feats.append(acc)
+                continue
             xs = x01 * res
             # clamp the base cell to res-1 so the +1 corners stay in the
             # (res+1)-wide dense tables at x01 == 1.0 exactly — OOB rows
@@ -134,6 +173,7 @@ class NeRFHTcnn(nn.Module):
     in_channels_a: int = 5
     in_channels_t: int = 2
     hash_level: int = 16
+    tcnn_exact: bool = False      # bit-layout parity for converted ckpts
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -143,6 +183,7 @@ class NeRFHTcnn(nn.Module):
                  sigma_only: bool = False, output_transient: bool = False):
         x01 = (xyz + self.bound) / (2 * self.bound)  # nerfh_tcnn.py:151-156
         enc = HashGridEncoding(n_levels=self.hash_level, dtype=self.dtype,
+                               tcnn_exact=self.tcnn_exact,
                                name="encoder")(x01)
         h = nn.relu(nn.Dense(self.hidden, name="sigma_hidden",
                              dtype=self.dtype)(enc))
