@@ -42,12 +42,24 @@ def load_semantic_mask(path: str, h: int, w: int,
     return (mask > 0.5).astype(np.float32)
 
 
+def load_dpt_depth(path: str, h: int, w: int) -> np.ndarray:
+    """16-bit DPT mono-depth png -> (h, w) float (reference
+    load_depth_image, cambridge_scenes.py:67-73 — declared there but
+    never consumed; here it feeds aux_losses.depth_loss_dpt)."""
+    import cv2
+    from PIL import Image
+    d = np.array(Image.open(path)).astype(np.float32)
+    if d.ndim == 3:
+        d = d[..., 0]
+    return cv2.resize(d, (w, h), interpolation=cv2.INTER_AREA)
+
+
 def load_cambridge(scene: str, data_root: str,
                    world_setup_dir: str | None = None,
                    train: bool = True, trainskip: int = 1, testskip: int = 1,
                    df: float = 2.0, load_images: bool = True,
                    semantic: bool = False, tinyscale: float = 4.0,
-                   hist_bin: int = 10) -> SceneData:
+                   hist_bin: int = 10, load_depth: bool = False) -> SceneData:
     split_dir = osp.join(data_root, scene, "train" if train else "test")
     rgb_dir = osp.join(split_dir, "rgb")
     pose_dir = osp.join(split_dir, "poses")
@@ -84,7 +96,7 @@ def load_cambridge(scene: str, data_root: str,
     if df != 1.0:
         H, W, focal = int(H // df), int(W // df), focal / df
 
-    images = hists = masks = None
+    images = hists = masks = depths = None
     if load_images:
         from nefes_tpu.data.seven_scenes import _load_images
         images = _load_images(c_imgs, df, H, W)
@@ -93,8 +105,18 @@ def load_cambridge(scene: str, data_root: str,
             mh, mw = int(H // tinyscale), int(W // tinyscale)
             masks = np.stack([load_semantic_mask(p, mh, mw)
                               for p in sem_files])
+        if load_depth:
+            depth_dir = osp.join(split_dir, "dpt")
+            if osp.isdir(depth_dir):
+                dfiles = sorted(osp.join(depth_dir, f)
+                                for f in os.listdir(depth_dir))
+                dfiles = [dfiles[i] for i in idx if i < len(dfiles)]
+                depths = np.stack([load_dpt_depth(p, H, W)
+                                   for p in dfiles])
+            else:
+                print(f"[cambridge] load_depth: no dpt dir at {depth_dir}")
 
     return SceneData(images=images, poses=poses, hists=hists,
                      hwf=(H, W, focal), near=ws.near, far=ws.far, world=ws,
                      masks=masks, image_paths=c_imgs,
-                     raw_poses=raw.astype(np.float32))
+                     raw_poses=raw.astype(np.float32), depths=depths)

@@ -31,6 +31,7 @@ class SceneData:
     masks: np.ndarray | None = None      # (N, Hm, Wm) semantic static masks
     image_paths: list = field(default_factory=list)
     raw_poses: np.ndarray | None = None  # dataset-frame poses pre-alignment
+    depths: np.ndarray | None = None     # (N, H, W) DPT mono-depth targets
 
     def __len__(self) -> int:
         return len(self.poses)
