@@ -476,6 +476,10 @@ def _run_fwd(spec, mode, interpret, weights, pts, dirs):
                  + [_const_spec(w.shape) for w in weights],
         out_specs=[_tile_spec(t, dims[o]) for o in onames],
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            # fwd tiles are independent -> Mosaic may pipeline/split them
+            # (the bwd kernel stays sequential: dW accumulates in VMEM)
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )
     return tuple(fn(pts, dirs, *weights))
