@@ -59,7 +59,7 @@ def main():
     variables = model.init_variables(jax.random.key(0))
     rcfg_render = cfg.render_config(n_samples=64, n_importance=64,
                                     output_transient=False, test_time=True,
-                                    perturb=False)
+                                    perturb=False, remat=False)
     rcfg = RefineConfig(opt_iter=OPT_ITER, lr_r=0.0087, lr_t=0.01)
 
     hwf = (H, W, FOCAL)

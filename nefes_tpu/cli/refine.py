@@ -97,7 +97,8 @@ def main(argv=None):
         near, far = opts.near_far
     rcfg_render = cfg.render_config(
         n_samples=opts.N_samples, n_importance=opts.N_importance,
-        perturb=False, test_time=True, output_transient=False)
+        perturb=False, test_time=True, output_transient=False,
+        remat=False)
     rcfg = RefineConfig(opt_iter=opts.opt_iter, lr_r=opts.lr_r,
                         lr_t=opts.lr_t, tinyscale=opts.tinyscale,
                         per_pixel=opts.per_pixel,
