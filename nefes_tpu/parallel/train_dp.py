@@ -38,6 +38,34 @@ def make_sharded_train_step(model: NeFeSModel, cfg: RenderConfig, tx,
                    out_shardings=(rep, rep, rep))
 
 
+def refine_poses_sharded(model: NeFeSModel, variables, init_poses,
+                         target_feats, hists, ws, hwf: tuple,
+                         cfg: RenderConfig, rcfg, mesh: Mesh):
+    """Mode-3 refinement of a whole test SET across the mesh: the frame
+    batch is sharded over every device axis, each chip runs its frames'
+    50-iteration scans independently (refinement is embarrassingly
+    parallel across frames — the serving-scale path the reference's
+    serial loop cannot express). Frame count must divide the device
+    count; callers pad with repeats and drop extras.
+
+    Returns (refined poses (N, 3, 4), losses (N, opt_iter))."""
+    from nefes_tpu.refine.pose_opt import refine_poses_batch
+
+    frame_spec = NamedSharding(mesh, P(("data", "rays")))
+    rep = replicated(mesh)
+    init_poses = jax.device_put(init_poses, frame_spec)
+    target_feats = jax.device_put(target_feats, frame_spec)
+    hists = jax.device_put(hists, frame_spec)
+    variables = jax.device_put(variables, rep)
+
+    @partial(jax.jit, out_shardings=(frame_spec, frame_spec))
+    def go(variables, poses, feats, hi):
+        return refine_poses_batch(model, variables, poses, feats, hi, ws,
+                                  hwf, cfg, rcfg)
+
+    return go(variables, init_poses, target_feats, hists)
+
+
 def render_rays_sharded(model: NeFeSModel, params, rays_o, rays_d,
                         near, far, cfg: RenderConfig, mesh: Mesh):
     """Render one image's rays sharded across ALL devices of the mesh

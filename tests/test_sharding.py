@@ -87,3 +87,32 @@ def test_ray_sharded_render_matches_local(world):
                                   scene.near, scene.far, tcfg, mesh)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(local),
                                atol=2e-5)
+
+
+def test_sharded_refinement_matches_local(world):
+    """8 frames refined across the 8-device mesh == the local vmapped
+    batch (frame-parallel serving path)."""
+    scene, model, tx, state, rcfg = world
+    from nefes_tpu.parallel.train_dp import refine_poses_sharded
+    from nefes_tpu.refine import RefineConfig, refine_poses_batch
+
+    variables = state.variables
+    tcfg = rcfg.test()
+    rfc = RefineConfig(opt_iter=2)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(
+        size=(8, 8, 8, model.cfg.feature_dim)).astype(np.float32))
+    poses = jnp.asarray(scene.poses[:8])
+    hists = jnp.asarray(scene.hists[:8])
+    hwf = (8, 8, 6.0)
+
+    local, losses_l = refine_poses_batch(
+        model, variables, poses, feats, hists, scene.world, hwf, tcfg, rfc)
+    mesh = make_mesh(data=4, rays=2)
+    sharded, losses_s = refine_poses_sharded(
+        model, variables, poses, feats, hists, scene.world, hwf, tcfg,
+        rfc, mesh)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(local),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(losses_s), np.asarray(losses_l),
+                               atol=2e-5)
