@@ -110,6 +110,10 @@ class Options:
     opt_iter: int = 50
     refine_batch: int = 8   # frames refined per launch (1 = serial like
     #                         the reference; vmapped scan otherwise)
+    # APR compute dtype during refinement. The reference pins float32
+    # (autocast decorator, DFM_pose_refine.py:131); bfloat16 runs the
+    # VGG16 tower on the MXU's native type (weights stay f32)
+    apr_compute_dtype: str = "float32"
     no_verification_step: bool = False
     per_pixel: bool = False
     svd_reg: bool = False

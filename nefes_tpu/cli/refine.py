@@ -57,7 +57,8 @@ def main(argv=None):
 
     # feature extractor: always DFNet (load_FeatureNet,
     # direct_pose_model.py:109-118)
-    dfnet = DFNet(output_dim=opts.feature_dim)
+    apr_dt = jnp.dtype(opts.apr_compute_dtype)
+    dfnet = DFNet(output_dim=opts.feature_dim, dtype=apr_dt)
     if opts.pretrain_featurenet_path:
         dfvars = convert_dfnet(
             load_torch_state_dict(opts.pretrain_featurenet_path))

@@ -232,6 +232,13 @@ def main(argv=None):
             print(f"[epoch {epoch}] stage={stage} loss={float(loss):.5f} "
                   f"psnr={float(aux['psnr']):.2f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
+            import json
+            with open(os.path.join(expdir, "metrics.jsonl"), "a") as f:
+                rec = {"epoch": epoch, "stage": stage,
+                       "loss": float(loss),
+                       "wall_s": round(time.time() - t0, 1)}
+                rec.update({k: float(v) for k, v in aux.items()})
+                f.write(json.dumps(rec) + "\n")
         if epoch % opts.i_weights == 0 and epoch > 0:
             path = save_checkpoint(os.path.join(expdir, "ckpts"), state,
                                    epoch)
