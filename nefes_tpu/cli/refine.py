@@ -118,24 +118,28 @@ def main(argv=None):
 
     if opts.pose_only == 2:
         # precompute ALL target features batched up front (the reference
-        # re-extracts per frame inside the loop, DFM_APR_refine.py:218);
-        # images stay on device across the whole run
-        images_dev = jnp.asarray(test.images)
+        # re-extracts per frame inside the loop, DFM_APR_refine.py:218).
+        # Targets/images live on HOST (full-res 128ch maps are ~39 MB/
+        # frame — thousands of test frames would blow 16 GB HBM); each
+        # refine_batch slice is transferred on demand.
         hists_dev = jnp.asarray(test.hists)
-        targets = []
+        # level 0 only — the reference's mode 2 always matches
+        # feature_list[0][0] (DFM_APR_refine.py:222)
+        targets = np.empty((n, test.H, test.W, opts.feature_dim),
+                           np.float32)
         for i in range(0, n, 8):
-            f = extract_target_features(dfnet, dfvars, images_dev[i:i + 8],
-                                        test.H, test.W)
-            targets.append(jax.lax.stop_gradient(f))
-        targets = jnp.concatenate(targets)
-        masks_dev = None
+            f = extract_target_features(
+                dfnet, dfvars, jnp.asarray(test.images[i:i + 8]),
+                test.H, test.W)
+            targets[i:i + 8] = np.asarray(f)
+        masks_np = None
         if masks is not None:
             # loader masks live at render scale (H/tinyscale); the mode-2
             # loss runs on full-res upsampled features -> nearest upsample
             m = jnp.asarray(masks)[..., None]
             m = jax.image.resize(m, (m.shape[0], test.H, test.W, 1),
                                  method="nearest")
-            masks_dev = m[..., 0]
+            masks_np = np.asarray(m[..., 0])
 
         from nefes_tpu.refine import refine_apr_batch
         kw = dict(svd_reg=opts.svd_reg, freeze_bn=opts.freezeBN,
@@ -152,10 +156,12 @@ def main(argv=None):
                 for j in range(sl.start, sl.stop):
                     out = refine_apr_single(
                         model, variables, apr_module, apr_vars,
-                        images_dev[j], targets[j], hists_dev[j], ws_vec,
+                        jnp.asarray(test.images[j]),
+                        jnp.asarray(targets[j]), hists_dev[j], ws_vec,
                         hwf_render, hwf_full, near, far, rcfg_render,
                         rcfg,
-                        mask=None if masks_dev is None else masks_dev[j],
+                        mask=None if masks_np is None
+                        else jnp.asarray(masks_np[j]),
                         **kw)
                     pose = out["refined_pose"] if opts.no_verification_step \
                         else apply_verification(out)
@@ -163,9 +169,11 @@ def main(argv=None):
             else:
                 out = refine_apr_batch(
                     model, variables, apr_module, apr_vars,
-                    images_dev[sl], targets[sl], hists_dev[sl], ws_vec,
+                    jnp.asarray(test.images[sl]), jnp.asarray(targets[sl]),
+                    hists_dev[sl], ws_vec,
                     hwf_render, hwf_full, near, far, rcfg_render, rcfg,
-                    masks=None if masks_dev is None else masks_dev[sl],
+                    masks=None if masks_np is None
+                    else jnp.asarray(masks_np[sl]),
                     **kw)
                 poses = out["refined_pose"] if opts.no_verification_step \
                     else apply_verification(out)
@@ -186,6 +194,13 @@ def main(argv=None):
             init_poses.append(np.asarray(poses))
         init_poses = np.concatenate(init_poses)
 
+        if len(opts.feature_matching_lvl) != 1:
+            # the rendered (fused) features are feature_dim channels; a
+            # multi-level concat target cannot be cosine-matched against
+            # them (the reference always runs [0], dm/options.py:24-25)
+            raise ValueError(
+                "feature_matching_lvl must select exactly one level for "
+                f"DFM refinement, got {opts.feature_matching_lvl!r}")
         targets = []
         for i in range(0, n, 8):
             f = extract_target_features(dfnet, dfvars,

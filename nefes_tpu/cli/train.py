@@ -115,7 +115,11 @@ def main(argv=None):
     if ckpt:
         print(f"restoring from {ckpt}")
         state = restore_checkpoint(ckpt, state)
-        if opts.new_schedule == 2 and not opts.render_test:
+        if (opts.new_schedule == 2 and not opts.render_test
+                and ckpt == opts.ft_path):
+            # reset ONLY on the explicit fine-tune entry (ft_path); an
+            # auto-resume of a crashed stage-2 run from its own latest
+            # checkpoint must keep its clock/optimizer
             # fine-tune start (reference run_nefes.py:323-326): the stage-2
             # schedule counts epochs from 0 (feature phase until 200, then
             # +fusion) — keep the restored params but reset the clock and
@@ -160,9 +164,13 @@ def main(argv=None):
         use_fine_only=opts.use_fine_only)
     rcfg_test = rcfg.test()
 
+    val_cache: list = []
+
     def run_validation(step):
         from nefes_tpu.render.validation import holdout_views, render_test
-        val_scene = build_scene(opts, train=False)
+        if not val_cache:   # load the test split once, not per validation
+            val_cache.append(build_scene(opts, train=False))
+        val_scene = val_cache[0]
         full_hwf = (scene.H, scene.W, float(scene.focal))
         return render_test(
             model, state.variables,

@@ -108,9 +108,19 @@ def load_cambridge(scene: str, data_root: str,
         if load_depth:
             depth_dir = osp.join(split_dir, "dpt")
             if osp.isdir(depth_dir):
-                dfiles = sorted(osp.join(depth_dir, f)
-                                for f in os.listdir(depth_dir))
-                dfiles = [dfiles[i] for i in idx if i < len(dfiles)]
+                # pair by frame NAME, not sort position — a missing depth
+                # png must fail loudly, not silently shift every later
+                # frame onto the wrong depth map
+                by_name = {osp.splitext(f)[0]: osp.join(depth_dir, f)
+                           for f in os.listdir(depth_dir)}
+                dfiles = []
+                for img_path in c_imgs:
+                    stem = osp.splitext(osp.basename(img_path))[0]
+                    if stem not in by_name:
+                        raise FileNotFoundError(
+                            f"dpt depth missing for frame {stem!r} in "
+                            f"{depth_dir}")
+                    dfiles.append(by_name[stem])
                 depths = np.stack([load_dpt_depth(p, H, W)
                                    for p in dfiles])
             else:
@@ -119,4 +129,5 @@ def load_cambridge(scene: str, data_root: str,
     return SceneData(images=images, poses=poses, hists=hists,
                      hwf=(H, W, focal), near=ws.near, far=ws.far, world=ws,
                      masks=masks, image_paths=c_imgs,
-                     raw_poses=raw.astype(np.float32), depths=depths)
+                     raw_poses=raw.astype(np.float32), depths=depths,
+                     pose_avg_stats=np.asarray(pose_avg, np.float32))

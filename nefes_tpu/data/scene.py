@@ -32,6 +32,7 @@ class SceneData:
     image_paths: list = field(default_factory=list)
     raw_poses: np.ndarray | None = None  # dataset-frame poses pre-alignment
     depths: np.ndarray | None = None     # (N, H, W) DPT mono-depth targets
+    pose_avg_stats: np.ndarray | None = None  # (3, 4) world-centering pose
 
     def __len__(self) -> int:
         return len(self.poses)

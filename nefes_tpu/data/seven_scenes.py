@@ -121,7 +121,8 @@ def load_7scenes_colmap(scene: str, deepslam_root: str, data_root: str,
 
     return SceneData(images=images, poses=poses, hists=hists,
                      hwf=(H, W, focal), near=ws.near, far=ws.far, world=ws,
-                     image_paths=paths, raw_poses=w2c.astype(np.float32))
+                     image_paths=paths, raw_poses=w2c.astype(np.float32),
+                     pose_avg_stats=np.asarray(pose_avg, np.float32))
 
 
 def load_7scenes_dslam(scene: str, deepslam_root: str, data_root: str,
@@ -160,4 +161,5 @@ def load_7scenes_dslam(scene: str, deepslam_root: str, data_root: str,
 
     return SceneData(images=images, poses=poses, hists=hists,
                      hwf=(H, W, focal), near=ws.near, far=ws.far, world=ws,
-                     image_paths=paths, raw_poses=raw.astype(np.float32))
+                     image_paths=paths, raw_poses=raw.astype(np.float32),
+                     pose_avg_stats=np.asarray(pose_avg, np.float32))

@@ -156,6 +156,10 @@ def refine_apr_single(model: NeFeSModel, variables, dfnet: DFNet,
         apr_params = optax.apply_updates(apr_params, updates)
         return (apr_params, opt_state), (loss, p, s)
 
+    # NOTE: psnrs[-1]/ssims[-1] are rendered from the params BEFORE the
+    # final update while refined_pose carries all opt_iter updates — this
+    # matches the reference exactly (end_psnr recorded inside the last
+    # train_on_batch, DFM_APR_refine.py:224-233, i.e. pre-final-step).
     (apr_final, _), (losses, psnrs, ssims) = jax.lax.scan(
         step, (apr_params0, tx.init(apr_params0)), None,
         length=rcfg.opt_iter)

@@ -11,8 +11,9 @@ TPU shape: ONE jitted single-pose render program reused across poses
 views — no chunk loops. The reference's LARGE_FEATURE_SIZE=True branch is
 the implemented behavior: render at H/tinyscale, run FusionNet once
 global_step >= EPOCH_TO_FUSION, bicubic-upsample features AND rgb to full
-H×W (torch kernel semantics, utils/image.py), crop a 10-px border, then
-PSNR + per-pixel cosine loss.
+H×W (torch kernel semantics, utils/image.py); the cosine feature loss is
+computed on 10-px-border-cropped maps while PSNR covers the full rgb —
+both exactly as the reference does (rendering.py:601-630).
 """
 
 from __future__ import annotations
@@ -93,6 +94,8 @@ def render_path_with_feature(model: NeFeSModel, variables, poses, hists,
                           cfg, tinyscale, use_fusion)
         rgb = np.asarray(out["rgb"])
         gt = np.asarray(gt_images[i])
+        # PSNR over the FULL image — the reference crops only the feature
+        # maps, not the rgb (rendering.py:601-607)
         p = -10.0 * np.log10(np.mean(np.square(rgb - gt)))
         feat_c = _crop(out["feat"])
         gt_c = _crop(gt_feats[i])

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 N_VIEWS, H, W = 24, 48, 64
-EPOCHS = 120
+EPOCHS = 400
 PERTURB_T, PERTURB_DEG = 0.08, 4.0   # ~8 cm / 4 deg initial error
 
 
@@ -65,7 +65,7 @@ def main():
             state, loss, aux = train_step_rays(
                 model, rcfg, tx, state, batch, k, lr, hwf, scene.near,
                 scene.far, n_rand=1024, stage=1)
-        if epoch % 20 == 0:
+        if epoch % 50 == 0:
             print(f"epoch {epoch} loss={float(loss):.4f} "
                   f"psnr={float(aux['psnr']):.2f}", flush=True)
 
@@ -78,8 +78,21 @@ def main():
                                      jnp.asarray(scene.hists[0]),
                                      hwf, scene.near, scene.far, tcfg)
 
-    # perturb all poses, refine with the TRAINED field against analytic
-    # target features
+    # target features = the TRAINED field's own renders at the TRUE poses
+    # (the DFM construction: at test time the reference matches the
+    # field's features against the feature net the field was trained on;
+    # with no pretrained DFNet in this environment, the self-consistent
+    # analogue is matching against the field's render at the GT pose)
+    tgt_feats = []
+    for i in range(N_VIEWS):
+        _, fused = render_feature_image(model, state.variables,
+                                        jnp.asarray(scene.poses[i]),
+                                        jnp.asarray(scene.hists[i]),
+                                        hwf, scene.near, scene.far, tcfg)
+        tgt_feats.append(np.asarray(fused))
+    tgt_feats = np.stack(tgt_feats)
+
+    # perturb all poses, refine with the trained field
     rng_np = np.random.default_rng(2)
     pert = []
     for p in scene.poses:
@@ -93,7 +106,7 @@ def main():
     err_before = pose_errors(pert, scene.poses)
     rfc = RefineConfig(opt_iter=50, lr_r=0.004, lr_t=0.01)
     refined, losses = refine_poses_batch(
-        model, state.variables, jnp.asarray(pert), jnp.asarray(feats),
+        model, state.variables, jnp.asarray(pert), jnp.asarray(tgt_feats),
         jnp.asarray(scene.hists), scene.world, hwf, tcfg, rfc)
     err_after = pose_errors(np.asarray(refined), scene.poses)
 
