@@ -188,6 +188,32 @@ def render_test(model: NeFeSModel, variables, train_views: dict,
     return results
 
 
+def render_path_upsample(model: NeFeSModel, variables, poses, hists,
+                         hwf: tuple, near: float, far: float,
+                         cfg: RenderConfig, target_size=(1920, 1080),
+                         savedir: str | None = None) -> np.ndarray:
+    """Render each pose at hwf and bicubic-upsample the rgb to
+    target_size (W, H) — the 1080p experiment renderer (reference
+    render_path_upsample / render_test_upsample, rendering.py:416-519).
+    Returns (N, target_H, target_W, 3); writes frame%05d.png when asked."""
+    H, W, _ = hwf
+    tw, th = target_size
+    if savedir:
+        ensure_dir(savedir)
+    out = []
+    for i in range(len(poses)):
+        r = _render_one_full(model, variables, jnp.asarray(poses[i]),
+                             jnp.asarray(hists[i]), hwf, near, far, cfg)
+        rgb = r["rgb"]
+        if (tw, th) != (W, H):
+            rgb = resize_bicubic(rgb, th, tw)
+        rgb = np.asarray(jnp.clip(rgb, 0.0, 1.0))
+        out.append(rgb)
+        if savedir:
+            save_png(os.path.join(savedir, f"frame{i + 1:05d}.png"), rgb)
+    return np.stack(out)
+
+
 def holdout_views(scene, skip: int = 10, limit: int | None = None) -> dict:
     """Every skip-th view of a SceneData (reference j_skip=10,
     run_nefes.py:399)."""

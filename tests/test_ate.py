@@ -95,3 +95,20 @@ def test_compute_ate_noise_floor():
     stats = compute_ate(noisy, gt, align_a2b="sim3")
     assert 0.0 < stats["rmse_t_m"] < 0.05
     assert stats["median_t_m"] < 0.03
+
+
+def test_kalman_smoothing_reduces_noise():
+    from nefes_tpu.utils.kalman import kalman_1d, kalman_3d
+    rng = np.random.default_rng(4)
+    t = np.linspace(0, 4 * np.pi, 200)
+    clean = np.sin(t)
+    noisy = clean + rng.normal(0, 0.3, len(t))
+    sm = kalman_1d(noisy, damping=1.0)[:, 0]
+    assert sm.shape == clean.shape
+    assert np.mean((sm - clean) ** 2) < 0.5 * np.mean((noisy - clean) ** 2)
+
+    traj = np.stack([clean, clean * 0.5, -clean], 1)
+    noisy3 = traj + rng.normal(0, 0.3, traj.shape)
+    sm3 = kalman_3d(noisy3)
+    assert sm3.shape == traj.shape
+    assert np.mean((sm3 - traj) ** 2) < 0.5 * np.mean((noisy3 - traj) ** 2)
