@@ -125,13 +125,27 @@ def load_7scenes_colmap(scene: str, deepslam_root: str, data_root: str,
                      pose_avg_stats=np.asarray(pose_avg, np.float32))
 
 
+def load_depth_png(path: str, h: int, w: int, df: float) -> np.ndarray:
+    """Kinect depth png (uint16 mm; 65535 = invalid -> 0) resized NEAREST
+    (reference load_depth_image, seven_scenes.py:144-150)."""
+    from PIL import Image
+    d = np.asarray(Image.open(path)).astype(np.float32)
+    d[d >= 65535] = 0.0
+    if df != 1.0:
+        import cv2
+        d = cv2.resize(d, (w, h), interpolation=cv2.INTER_NEAREST)
+    return d / 1000.0  # meters
+
+
 def load_7scenes_dslam(scene: str, deepslam_root: str, data_root: str,
                        train: bool = True, trainskip: int = 1,
                        testskip: int = 1, df: float = 2.0,
                        load_images: bool = True,
-                       hist_bin: int = 10) -> SceneData:
+                       hist_bin: int = 10,
+                       load_depth: bool = False) -> SceneData:
     """dSLAM-GT split (frame-XXXXXX.pose.txt 4x4 c2w files,
-    seven_scenes.py:279-288)."""
+    seven_scenes.py:279-288). load_depth reads the paired
+    frame-XXXXXX.depth.png Kinect maps (meters, 0 = invalid)."""
     base_dir = osp.join(deepslam_root, scene)
     data_dir = osp.join(data_root, "7Scenes", scene)
     ws = WorldSetup.from_json(osp.join(data_dir, "world_setup.json"))
@@ -154,12 +168,17 @@ def load_7scenes_dslam(scene: str, deepslam_root: str, data_root: str,
     if df != 1.0:
         H, W, focal = int(H // df), int(W // df), focal / df
 
-    images = hists = None
+    images = hists = depths = None
     if load_images:
         images = _load_images(paths, df, H, W)
         hists = compute_histograms(images, hist_bin)
+        if load_depth:
+            depths = np.stack([
+                load_depth_png(p.replace(".color.png", ".depth.png"),
+                               H, W, df) for p in paths])
 
     return SceneData(images=images, poses=poses, hists=hists,
                      hwf=(H, W, focal), near=ws.near, far=ws.far, world=ws,
                      image_paths=paths, raw_poses=raw.astype(np.float32),
-                     pose_avg_stats=np.asarray(pose_avg, np.float32))
+                     pose_avg_stats=np.asarray(pose_avg, np.float32),
+                     depths=depths)
