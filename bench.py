@@ -118,6 +118,35 @@ def main():
         mode2[dt_name] = (time.perf_counter() - t0) / FRAMES_TO_TIME
         losses2[dt_name] = float(np.asarray(out["losses"])[-1])
 
+    # ---------------- training throughput (paper config) -----------------
+    from nefes_tpu.train import (
+        create_train_state, make_optimizer, train_step_rays,
+    )
+    tx = make_optimizer()
+    state = create_train_state(model, jax.random.key(4), tx)
+    tr_cfg = cfg.render_config(n_samples=64, n_importance=64)
+    Bt, n_rand = 4, 1536
+    batch = {
+        "rgb": jax.random.uniform(jax.random.key(5), (Bt, H, W, 3)),
+        "poses": jnp.broadcast_to(pose, (Bt, 3, 4)),
+        "hists": jnp.zeros((Bt, 10)),
+        "feat": jax.random.normal(jax.random.key(6),
+                                  (Bt, H, W, cfg.feature_dim)),
+    }
+    state, tl, _ = train_step_rays(model, tr_cfg, tx, state, batch,
+                                   jax.random.key(7), jnp.asarray(5e-4),
+                                   hwf, NEAR, FAR, n_rand=n_rand, stage=1)
+    float(tl)
+    t0 = time.perf_counter()
+    steps = 8
+    for i in range(steps):
+        state, tl, _ = train_step_rays(model, tr_cfg, tx, state, batch,
+                                       jax.random.key(8 + i),
+                                       jnp.asarray(5e-4), hwf, NEAR, FAR,
+                                       n_rand=n_rand, stage=1)
+    float(tl)
+    train_rays_s = Bt * n_rand * steps / (time.perf_counter() - t0)
+
     best = min(mode2.values())
     result = {
         "metric": "nefes50_apr_refine_per_frame",
@@ -132,6 +161,7 @@ def main():
             "mode3_vs_baseline": round(REFERENCE_FRAME_SEC_ESTIMATE / dt3,
                                        2),
             "rays_per_sec_per_chip_mode3": int(H * W * OPT_ITER / dt3),
+            "train_rays_per_sec": int(train_rays_s),
             "render_hw": [H, W],
             "full_hw": [FULL_H, FULL_W],
             "opt_iter": OPT_ITER,
