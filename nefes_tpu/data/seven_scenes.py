@@ -40,8 +40,17 @@ def _frame_indices(seq_dir: str, skip: int) -> np.ndarray:
 
 
 def _load_images(paths: list[str], df: float, H: int, W: int) -> np.ndarray:
-    """Load + area-downscale color PNGs to (H, W). Needs PIL/cv2 only when
-    images are actually present (pose-only workflows skip this)."""
+    """Load + area-downscale color PNGs to (H, W).
+
+    Uses the native C++ threaded decoder (nefes_tpu/native — box filter ==
+    cv2.INTER_AREA at the integer ratios the configs use) when available;
+    set NEFES_NATIVE_LOADER=0 to force the PIL/cv2 path."""
+    if os.environ.get("NEFES_NATIVE_LOADER", "1") != "0":
+        try:
+            from nefes_tpu.native import load_images_native
+            return load_images_native(paths, H, W)
+        except Exception as e:
+            print(f"[data] native loader unavailable ({e}); PIL fallback")
     from PIL import Image
     imgs = []
     for p in paths:
