@@ -124,7 +124,7 @@ def main():
     )
     tx = make_optimizer()
     state = create_train_state(model, jax.random.key(4), tx)
-    tr_cfg = cfg.render_config(n_samples=64, n_importance=64)
+    tr_cfg = cfg.render_config(n_samples=64, n_importance=64, remat=False)
     Bt, n_rand = 4, 1536
     batch = {
         "rgb": jax.random.uniform(jax.random.key(5), (Bt, H, W, 3)),

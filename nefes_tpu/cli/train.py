@@ -158,10 +158,14 @@ def main(argv=None):
     if opts.set_near_far:
         near, far = opts.near_far
 
+    samples_per_step = (opts.batch_size * opts.N_rand
+                        * (2 * opts.N_samples + opts.N_importance))
+    remat = {"on": True, "off": False}.get(
+        opts.remat, samples_per_step > 4_000_000)
     rcfg = cfg.render_config(
         n_samples=opts.N_samples, n_importance=opts.N_importance,
         perturb=opts.perturb > 0, raw_noise_std=opts.raw_noise_std,
-        use_fine_only=opts.use_fine_only)
+        use_fine_only=opts.use_fine_only, remat=remat)
     rcfg_test = rcfg.test()
 
     val_cache: list = []
