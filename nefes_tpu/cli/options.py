@@ -71,7 +71,11 @@ class Options:
     lrate: float = 5e-4
     lrate_decay: float = 0.754
     batch_size: int = 4
-    val_batch_size: int = 1
+    # NOTE: the reference's --val_batch_size / --dfnet / --eval flags are
+    # not modeled: validation renders per-pose (no DataLoader batching),
+    # APR selection goes through PoseEstimatorType, and evaluation is its
+    # own CLI (nefes_tpu.cli.evaluate). Config files carrying them are
+    # ignored-with-print by load_options.
     epochs: int = 600
     new_schedule: int = 1
     i_weights: int = 200
@@ -123,11 +127,9 @@ class Options:
     svd_reg: bool = False
     freezeBN: bool = False
     feature_matching_lvl: tuple = (0,)
-    dfnet: bool = False
 
     # eval / render
     render_test: bool = False
-    eval: bool = False
 
     # profiling (utils/profiling.py; replaces the reference's
     # PROFILE_TIME prints, rendering.py:18)

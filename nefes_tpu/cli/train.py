@@ -28,13 +28,15 @@ def build_scene(opts, train: bool):
         return load_7scenes_colmap(scene, root, opts.data_root, train=train,
                                    trainskip=opts.trainskip,
                                    testskip=opts.testskip, df=opts.df,
-                                   hist_bin=opts.hist_bin)
+                                   hist_bin=opts.hist_bin,
+                                   load_pose_avg_stats=opts.load_pose_avg_stats)
     if opts.dataset_type == "7Scenes":
         root = os.path.dirname(opts.datadir.rstrip("/"))
         return load_7scenes_dslam(scene, root, opts.data_root, train=train,
                                   trainskip=opts.trainskip,
                                   testskip=opts.testskip, df=opts.df,
-                                  hist_bin=opts.hist_bin)
+                                  hist_bin=opts.hist_bin,
+                                  load_pose_avg_stats=opts.load_pose_avg_stats)
     if opts.dataset_type == "Cambridge":
         root = os.path.dirname(opts.datadir.rstrip("/"))
         return load_cambridge(scene, root, train=train,
@@ -42,7 +44,9 @@ def build_scene(opts, train: bool):
                               testskip=opts.testskip, df=opts.df,
                               semantic=opts.semantic,
                               tinyscale=opts.tinyscale,
-                              hist_bin=opts.hist_bin)
+                              hist_bin=opts.hist_bin,
+                              load_depth=opts.depth_loss,
+                              load_pose_avg_stats=opts.load_pose_avg_stats)
     raise ValueError(f"unknown dataset_type {opts.dataset_type!r}")
 
 
@@ -50,14 +54,33 @@ def build_model(opts):
     import jax.numpy as jnp
     from nefes_tpu.fields.embedder import EmbedConfig
     from nefes_tpu.train import ModelConfig, NeFeSModel
+    # reduce_embedding modes (reference get_embedder reduce_mode):
+    # 0 = half the frequency bands, 1 = identity (no encoding),
+    # 2 = Nerfies coarse-to-fine window — available via
+    # fields.embedder.cosine_window/embed(window=...) in custom loops;
+    # the jitted CLI steps use the full bands with a notice.
+    if opts.reduce_embedding == 0:
+        xyz = EmbedConfig.reduced(opts.multires)
+        dirs = EmbedConfig.reduced(opts.multires_views)
+    elif opts.reduce_embedding == 1:
+        xyz = EmbedConfig.identity()
+        dirs = EmbedConfig.identity()
+    else:
+        if opts.reduce_embedding == 2:
+            print("NOTE: reduce_embedding=2 (windowed c2f) uses full "
+                  "bands in the jitted train steps; the window is exposed "
+                  "as embedder.cosine_window for custom loops")
+        xyz = EmbedConfig(num_freqs=opts.multires)
+        dirs = EmbedConfig(num_freqs=opts.multires_views)
     cfg = ModelConfig(
         depth=opts.netdepth, width=opts.netwidth,
         feature_dim=opts.feature_dim,
         fusion_residual=opts.use_fusion_res,
         fusion_no_bn=opts.no_fusion_BN,
         hist_bin=opts.hist_bin,
-        xyz_embed=EmbedConfig(num_freqs=opts.multires),
-        dir_embed=EmbedConfig(num_freqs=opts.multires_views),
+        encode_hist=opts.encode_hist,
+        xyz_embed=xyz,
+        dir_embed=dirs,
     )
     return cfg, NeFeSModel(cfg)
 
@@ -165,7 +188,9 @@ def main(argv=None):
     rcfg = cfg.render_config(
         n_samples=opts.N_samples, n_importance=opts.N_importance,
         perturb=opts.perturb > 0, raw_noise_std=opts.raw_noise_std,
-        use_fine_only=opts.use_fine_only, remat=remat)
+        use_fine_only=opts.use_fine_only, remat=remat,
+        output_transient=opts.NeRFW,
+        transient_at_test=opts.transient_at_test)
     rcfg_test = rcfg.test()
 
     val_cache: list = []
@@ -213,7 +238,8 @@ def main(argv=None):
 
     t0 = time.time()
     for epoch in range(int(state.epoch), opts.epochs + 1):
-        stage = stage_for_epoch(opts.new_schedule, epoch)
+        stage = (0 if opts.color_loss_only
+                 else stage_for_epoch(opts.new_schedule, epoch))
         lr = jnp.asarray(lr_for_epoch(epoch, opts.lrate, opts.lrate_decay))
         perm = order_rng.permutation(n)
         epoch_trace = (trace(opts.profile_dir)

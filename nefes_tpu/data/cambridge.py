@@ -59,7 +59,8 @@ def load_cambridge(scene: str, data_root: str,
                    train: bool = True, trainskip: int = 1, testskip: int = 1,
                    df: float = 2.0, load_images: bool = True,
                    semantic: bool = False, tinyscale: float = 4.0,
-                   hist_bin: int = 10, load_depth: bool = False) -> SceneData:
+                   hist_bin: int = 10, load_depth: bool = False,
+                   load_pose_avg_stats: bool = True) -> SceneData:
     split_dir = osp.join(data_root, scene, "train" if train else "test")
     rgb_dir = osp.join(split_dir, "rgb")
     pose_dir = osp.join(split_dir, "poses")
@@ -67,7 +68,9 @@ def load_cambridge(scene: str, data_root: str,
 
     ws_dir = world_setup_dir or osp.join(data_root, scene)
     ws = WorldSetup.from_json(osp.join(ws_dir, "world_setup.json"))
-    pose_avg = np.loadtxt(osp.join(ws_dir, "pose_avg_stats.txt"))
+    stats_file = osp.join(ws_dir, "pose_avg_stats.txt")
+    pose_avg = (np.loadtxt(stats_file)
+                if load_pose_avg_stats and osp.exists(stats_file) else None)
 
     c_imgs = sorted(osp.join(rgb_dir, f) for f in os.listdir(rgb_dir))
     pose_files = sorted(osp.join(pose_dir, f) for f in os.listdir(pose_dir))
@@ -90,6 +93,9 @@ def load_cambridge(scene: str, data_root: str,
         sem_files = [sem_files[i] for i in idx]
 
     raw = np.stack([np.loadtxt(p)[:3, :4] for p in pose_files])
+    if pose_avg is None:
+        from nefes_tpu.geometry.transforms import average_pose
+        pose_avg = average_pose(raw)
     poses = fix_coord_cambridge(raw, pose_avg, ws).astype(np.float32)
 
     H, W, focal = DEFAULT_HWF

@@ -86,7 +86,8 @@ def load_7scenes_colmap(scene: str, deepslam_root: str, data_root: str,
                         train: bool = True, trainskip: int = 1,
                         testskip: int = 1, df: float = 2.0,
                         load_images: bool = True,
-                        hist_bin: int = 10) -> SceneData:
+                        hist_bin: int = 10,
+                        load_pose_avg_stats: bool = True) -> SceneData:
     """COLMAP-pGT split (the paper-result dataset).
 
     df=2 halves 640x480 to 320x240 as the reference DFM configs do.
@@ -94,7 +95,9 @@ def load_7scenes_colmap(scene: str, deepslam_root: str, data_root: str,
     base_dir = osp.join(deepslam_root, scene)
     data_dir = osp.join(data_root, "7Scenes", scene)
     ws = WorldSetup.from_json(osp.join(data_dir, "world_setup.json"))
-    pose_avg = np.loadtxt(osp.join(data_dir, "pose_avg_stats_colmap.txt"))
+    stats_file = osp.join(data_dir, "pose_avg_stats_colmap.txt")
+    pose_avg = (np.loadtxt(stats_file)
+                if load_pose_avg_stats and osp.exists(stats_file) else None)
 
     seqs = _read_split(base_dir, train)
     skip = trainskip if train else testskip
@@ -113,6 +116,14 @@ def load_7scenes_colmap(scene: str, deepslam_root: str, data_root: str,
     focal = float(qtf[0, -1])
 
     w2c = quat_poses_to_w2c(qtf[:, :7])
+    if pose_avg is None:
+        # --load_pose_avg_stats false: compute the centering pose from the
+        # split itself (the reference's save_pose_avg_stats path,
+        # load_7Scenes.py:164-194)
+        from nefes_tpu.geometry.transforms import (
+            average_pose, colmap_to_opengl_c2w,
+        )
+        pose_avg = average_pose(colmap_to_opengl_c2w(w2c.reshape(-1, 3, 4)))
     # the colmap loader does NOT rescale in fix_coord (rescale_coord=False,
     # load_7Scenes_colmap.py:56) — the world rescale is applied to APR
     # poses at refinement time via fix_coord_supp instead
@@ -151,14 +162,17 @@ def load_7scenes_dslam(scene: str, deepslam_root: str, data_root: str,
                        testskip: int = 1, df: float = 2.0,
                        load_images: bool = True,
                        hist_bin: int = 10,
-                       load_depth: bool = False) -> SceneData:
+                       load_depth: bool = False,
+                       load_pose_avg_stats: bool = True) -> SceneData:
     """dSLAM-GT split (frame-XXXXXX.pose.txt 4x4 c2w files,
     seven_scenes.py:279-288). load_depth reads the paired
     frame-XXXXXX.depth.png Kinect maps (meters, 0 = invalid)."""
     base_dir = osp.join(deepslam_root, scene)
     data_dir = osp.join(data_root, "7Scenes", scene)
     ws = WorldSetup.from_json(osp.join(data_dir, "world_setup.json"))
-    pose_avg = np.loadtxt(osp.join(data_dir, "pose_avg_stats.txt"))
+    stats_file = osp.join(data_dir, "pose_avg_stats.txt")
+    pose_avg = (np.loadtxt(stats_file)
+                if load_pose_avg_stats and osp.exists(stats_file) else None)
 
     seqs = _read_split(base_dir, train)
     skip = trainskip if train else testskip
@@ -171,6 +185,9 @@ def load_7scenes_dslam(scene: str, deepslam_root: str, data_root: str,
             raw.append(np.loadtxt(
                 osp.join(seq_dir, f"frame-{i:06d}.pose.txt")).flatten()[:12])
     raw = np.stack(raw).reshape(-1, 3, 4)
+    if pose_avg is None:
+        from nefes_tpu.geometry.transforms import average_pose
+        pose_avg = average_pose(raw)
     poses = fix_coord_7scenes(raw, pose_avg, ws).astype(np.float32)
 
     H, W, focal = DEFAULT_HWF

@@ -73,9 +73,14 @@ def nefes_training_loss(outputs: dict, target_rgb: jnp.ndarray,
     cannot pre-filter pixels by mask (patches are contiguous), so dynamic
     pixels are excluded here instead. Returns (loss, aux dict).
     """
+    # with the transient heads off (NeRFW=False) the compositor returns a
+    # zero beta map — the Eq.13 beta terms must fall back to plain MSE or
+    # log(beta) explodes
+    ts = outputs.get("transient_sigmas")
     loss_rgb = nerfw_loss(outputs["rgb0"], outputs["rgb"], target_rgb,
-                          beta=outputs.get("beta"),
-                          transient_sigmas=outputs.get("transient_sigmas"))
+                          beta=outputs.get("beta") if ts is not None
+                          else None,
+                          transient_sigmas=ts)
     aux = {"loss_rgb": loss_rgb}
     if stage == 0:
         return loss_rgb, aux

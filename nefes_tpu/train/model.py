@@ -29,6 +29,7 @@ class ModelConfig:
     feature_dim: int = FEATURE_DIM
     skips: tuple[int, ...] = (4,)
     hist_bin: int = 10
+    encode_hist: bool = True   # exposure MLP on/off (options.py:66)
     fusion_residual: bool = False
     fusion_no_bn: bool = False
     xyz_embed: EmbedConfig = EmbedConfig(num_freqs=10)
@@ -137,7 +138,10 @@ class NeFeSModel:
     def apply_exposure(self, params, hist: jnp.ndarray,
                        rgb: jnp.ndarray) -> jnp.ndarray:
         """hist (B, bins), rgb (B, N, 3) raw -> exposure-corrected sigmoid
-        rgb (the reference's affine_color_transform path)."""
+        rgb (the reference's affine_color_transform path). With
+        encode_hist off the raw colors only pass through the sigmoid."""
+        if not self.cfg.encode_hist:
+            return jax.nn.sigmoid(rgb)
         emb = self.exposure.apply({"params": params["exposure"]}, hist)
         return affine_color_transform(emb, rgb)
 
