@@ -94,6 +94,10 @@ def main():
     # configuration this framework ships as --apr_compute_dtype bfloat16.
     key_img = jax.random.uniform(jax.random.key(3),
                                  (FULL_H, FULL_W, 3))
+    # drop mode-3 device buffers before the mode-2 sections (the
+    # experimental remote-TPU runtime has shown persistent slowdowns when
+    # stale executables' buffers stay live across sections)
+    del refined, target
     mode2 = {}
     losses2 = {}
     for dt_name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
@@ -109,8 +113,9 @@ def main():
                 ws_vec, hwf, (FULL_H, FULL_W, FOCAL * 4), NEAR, FAR,
                 rcfg_render, rcfg, svd_reg=True)
 
-        out = run2(key_img)
-        float(out["losses"][-1])
+        for w in range(2):   # compile + steady-state warmup
+            out = run2(jnp.clip(key_img + 1e-5 * w, 0.0, 1.0))
+            float(out["losses"][-1])
         t0 = time.perf_counter()
         for i in range(FRAMES_TO_TIME):
             out = run2(jnp.clip(key_img + 1e-4 * (i + 1), 0.0, 1.0))
