@@ -216,6 +216,12 @@ def options_argparser() -> argparse.ArgumentParser:
 
 
 def options_from_cli(argv=None) -> Options:
-    ns = vars(options_argparser().parse_args(argv))
+    # unknown flags follow the same ignored-with-print contract as
+    # unknown config-file keys (reference scripts pass legacy flags like
+    # --eval on the command line)
+    ns, unknown = options_argparser().parse_known_args(argv)
+    if unknown:
+        print(f"[options] ignoring unknown CLI args: {unknown}")
+    ns = vars(ns)
     overrides = {k: v for k, v in ns.items() if v is not None}
     return load_options(overrides.pop("config", None), overrides)

@@ -38,7 +38,14 @@ def main(argv=None):
     from nefes_tpu.train import create_train_state, make_optimizer
 
     scene_name = os.path.basename(opts.datadir.rstrip("/"))
-    test = build_scene(opts, train=False)
+    if opts.load_pose_avg_stats:
+        test = build_scene(opts, train=False)
+    else:
+        # computed centering stats must come from the TRAIN split (the
+        # frame the field was trained in), not from the test split
+        train_scene = build_scene(opts, train=True)
+        test = build_scene(opts, train=False,
+                           pose_avg_override=train_scene.pose_avg_stats)
     cfg, model = build_model(opts)
 
     # field weights: converted reference .tar or our orbax ckpt

@@ -18,7 +18,7 @@ import time
 import numpy as np
 
 
-def build_scene(opts, train: bool):
+def build_scene(opts, train: bool, pose_avg_override=None):
     from nefes_tpu.data import (
         load_7scenes_colmap, load_7scenes_dslam, load_cambridge,
     )
@@ -29,14 +29,16 @@ def build_scene(opts, train: bool):
                                    trainskip=opts.trainskip,
                                    testskip=opts.testskip, df=opts.df,
                                    hist_bin=opts.hist_bin,
-                                   load_pose_avg_stats=opts.load_pose_avg_stats)
+                                   load_pose_avg_stats=opts.load_pose_avg_stats,
+                                   pose_avg_override=pose_avg_override)
     if opts.dataset_type == "7Scenes":
         root = os.path.dirname(opts.datadir.rstrip("/"))
         return load_7scenes_dslam(scene, root, opts.data_root, train=train,
                                   trainskip=opts.trainskip,
                                   testskip=opts.testskip, df=opts.df,
                                   hist_bin=opts.hist_bin,
-                                  load_pose_avg_stats=opts.load_pose_avg_stats)
+                                  load_pose_avg_stats=opts.load_pose_avg_stats,
+                                  pose_avg_override=pose_avg_override)
     if opts.dataset_type == "Cambridge":
         root = os.path.dirname(opts.datadir.rstrip("/"))
         return load_cambridge(scene, root, train=train,
@@ -45,8 +47,8 @@ def build_scene(opts, train: bool):
                               semantic=opts.semantic,
                               tinyscale=opts.tinyscale,
                               hist_bin=opts.hist_bin,
-                              load_depth=opts.depth_loss,
-                              load_pose_avg_stats=opts.load_pose_avg_stats)
+                              load_pose_avg_stats=opts.load_pose_avg_stats,
+                              pose_avg_override=pose_avg_override)
     raise ValueError(f"unknown dataset_type {opts.dataset_type!r}")
 
 
@@ -198,7 +200,13 @@ def main(argv=None):
     def run_validation(step):
         from nefes_tpu.render.validation import holdout_views, render_test
         if not val_cache:   # load the test split once, not per validation
-            val_cache.append(build_scene(opts, train=False))
+            # the val split must live in the SAME world frame as the
+            # train split — share the train centering pose when stats
+            # were computed rather than loaded
+            override = (None if opts.load_pose_avg_stats
+                        else scene.pose_avg_stats)
+            val_cache.append(build_scene(opts, train=False,
+                                         pose_avg_override=override))
         val_scene = val_cache[0]
         full_hwf = (scene.H, scene.W, float(scene.focal))
         return render_test(

@@ -60,7 +60,8 @@ def load_cambridge(scene: str, data_root: str,
                    df: float = 2.0, load_images: bool = True,
                    semantic: bool = False, tinyscale: float = 4.0,
                    hist_bin: int = 10, load_depth: bool = False,
-                   load_pose_avg_stats: bool = True) -> SceneData:
+                   load_pose_avg_stats: bool = True,
+                   pose_avg_override=None) -> SceneData:
     split_dir = osp.join(data_root, scene, "train" if train else "test")
     rgb_dir = osp.join(split_dir, "rgb")
     pose_dir = osp.join(split_dir, "poses")
@@ -69,8 +70,12 @@ def load_cambridge(scene: str, data_root: str,
     ws_dir = world_setup_dir or osp.join(data_root, scene)
     ws = WorldSetup.from_json(osp.join(ws_dir, "world_setup.json"))
     stats_file = osp.join(ws_dir, "pose_avg_stats.txt")
-    pose_avg = (np.loadtxt(stats_file)
-                if load_pose_avg_stats and osp.exists(stats_file) else None)
+    if pose_avg_override is not None:
+        pose_avg = np.asarray(pose_avg_override)
+    elif load_pose_avg_stats:
+        pose_avg = np.loadtxt(stats_file)   # fail loud when missing
+    else:
+        pose_avg = None
 
     c_imgs = sorted(osp.join(rgb_dir, f) for f in os.listdir(rgb_dir))
     pose_files = sorted(osp.join(pose_dir, f) for f in os.listdir(pose_dir))

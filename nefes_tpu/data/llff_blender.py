@@ -67,34 +67,8 @@ def load_blender_data(basedir: str, half_res: bool = False,
 # LLFF (poses_bounds.npy)
 # ----------------------------------------------------------------------
 
-def _poses_avg(poses):
-    center = poses[:, :3, 3].mean(0)
-    vec2 = _normalize(poses[:, :3, 2].sum(0))
-    up = poses[:, :3, 1].sum(0)
-    return _viewmatrix(vec2, up, center)
-
-
-def _normalize(v):
-    return v / np.linalg.norm(v)
-
-
-def _viewmatrix(z, up, pos):
-    vec2 = _normalize(z)
-    vec0 = _normalize(np.cross(up, vec2))
-    vec1 = _normalize(np.cross(vec2, vec0))
-    return np.stack([vec0, vec1, vec2, pos], 1)
-
-
-def _recenter_poses(poses):
-    poses_ = poses.copy()
-    bottom = np.reshape([0, 0, 0, 1.0], (1, 4))
-    c2w = _poses_avg(poses)
-    c2w = np.concatenate([c2w[:3, :4], bottom], -2)
-    bottom = np.tile(np.reshape(bottom, (1, 1, 4)), (poses.shape[0], 1, 1))
-    hom = np.concatenate([poses[:, :3, :4], bottom], -2)
-    hom = np.linalg.inv(c2w) @ hom
-    poses_[:, :3, :4] = hom[:, :3, :4]
-    return poses_
+# pose averaging / recentering live in the canonical transform module
+from nefes_tpu.geometry.transforms import center_poses  # noqa: E402
 
 
 def load_llff_data(basedir: str, factor: float | None = None,
@@ -143,8 +117,8 @@ def load_llff_data(basedir: str, factor: float | None = None,
 
     if recenter:
         hwf_col = poses[:, :3, 4:5]
-        poses = np.concatenate(
-            [_recenter_poses(poses[:, :, :4])[:, :, :4], hwf_col], 2)
+        centered, _ = center_poses(poses[:, :3, :4])
+        poses = np.concatenate([centered, hwf_col], 2)
 
     i_test = int(np.argmin(np.linalg.norm(
         poses[:, :3, 3] - poses[:, :3, 3].mean(0), axis=-1)))
@@ -158,7 +132,8 @@ def load_llff_data(basedir: str, factor: float | None = None,
 def load_dataset(dataset_type: str, datadir: str, factor: float = 4,
                  llffhold: int = 8, testskip: int = 1,
                  no_ndc: bool = False, white_bkgd: bool = False,
-                 encode_hist: bool = True, hist_bin: int = 10) -> dict:
+                 encode_hist: bool = True, hist_bin: int = 10,
+                 half_res: bool = True) -> dict:
     """Returns {images, poses12 (N, 12), hwf, i_split, near, far, hists}
     — the load_dataset contract as plain arrays."""
     if dataset_type == "llff":
@@ -177,7 +152,7 @@ def load_dataset(dataset_type: str, datadir: str, factor: float = 4,
         i_split = [i_train, i_val, i_test]
     elif dataset_type == "blender":
         imgs, poses4, hwf, i_split = load_blender_data(
-            datadir, half_res=True, testskip=testskip,
+            datadir, half_res=half_res, testskip=testskip,
             white_bkgd=white_bkgd)
         poses34 = poses4[:, :3, :4]
         near, far = 2.0, 6.0

@@ -87,7 +87,8 @@ def load_7scenes_colmap(scene: str, deepslam_root: str, data_root: str,
                         testskip: int = 1, df: float = 2.0,
                         load_images: bool = True,
                         hist_bin: int = 10,
-                        load_pose_avg_stats: bool = True) -> SceneData:
+                        load_pose_avg_stats: bool = True,
+                        pose_avg_override=None) -> SceneData:
     """COLMAP-pGT split (the paper-result dataset).
 
     df=2 halves 640x480 to 320x240 as the reference DFM configs do.
@@ -96,8 +97,12 @@ def load_7scenes_colmap(scene: str, deepslam_root: str, data_root: str,
     data_dir = osp.join(data_root, "7Scenes", scene)
     ws = WorldSetup.from_json(osp.join(data_dir, "world_setup.json"))
     stats_file = osp.join(data_dir, "pose_avg_stats_colmap.txt")
-    pose_avg = (np.loadtxt(stats_file)
-                if load_pose_avg_stats and osp.exists(stats_file) else None)
+    if pose_avg_override is not None:
+        pose_avg = np.asarray(pose_avg_override)
+    elif load_pose_avg_stats:
+        pose_avg = np.loadtxt(stats_file)   # fail loud when missing
+    else:
+        pose_avg = None
 
     seqs = _read_split(base_dir, train)
     skip = trainskip if train else testskip
@@ -117,9 +122,10 @@ def load_7scenes_colmap(scene: str, deepslam_root: str, data_root: str,
 
     w2c = quat_poses_to_w2c(qtf[:, :7])
     if pose_avg is None:
-        # --load_pose_avg_stats false: compute the centering pose from the
-        # split itself (the reference's save_pose_avg_stats path,
-        # load_7Scenes.py:164-194)
+        # --load_pose_avg_stats false: compute the centering pose from
+        # THIS split (reference save_pose_avg_stats, load_7Scenes.py:
+        # 164-194). Callers loading multiple splits must share ONE frame:
+        # pass the train split's .pose_avg_stats as pose_avg_override
         from nefes_tpu.geometry.transforms import (
             average_pose, colmap_to_opengl_c2w,
         )
@@ -163,7 +169,8 @@ def load_7scenes_dslam(scene: str, deepslam_root: str, data_root: str,
                        load_images: bool = True,
                        hist_bin: int = 10,
                        load_depth: bool = False,
-                       load_pose_avg_stats: bool = True) -> SceneData:
+                       load_pose_avg_stats: bool = True,
+                       pose_avg_override=None) -> SceneData:
     """dSLAM-GT split (frame-XXXXXX.pose.txt 4x4 c2w files,
     seven_scenes.py:279-288). load_depth reads the paired
     frame-XXXXXX.depth.png Kinect maps (meters, 0 = invalid)."""
@@ -171,8 +178,12 @@ def load_7scenes_dslam(scene: str, deepslam_root: str, data_root: str,
     data_dir = osp.join(data_root, "7Scenes", scene)
     ws = WorldSetup.from_json(osp.join(data_dir, "world_setup.json"))
     stats_file = osp.join(data_dir, "pose_avg_stats.txt")
-    pose_avg = (np.loadtxt(stats_file)
-                if load_pose_avg_stats and osp.exists(stats_file) else None)
+    if pose_avg_override is not None:
+        pose_avg = np.asarray(pose_avg_override)
+    elif load_pose_avg_stats:
+        pose_avg = np.loadtxt(stats_file)   # fail loud when missing
+    else:
+        pose_avg = None
 
     seqs = _read_split(base_dir, train)
     skip = trainskip if train else testskip

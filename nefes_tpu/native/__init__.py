@@ -36,14 +36,14 @@ def _build() -> str | None:
     so = _so_path()
     if osp.exists(so) and osp.getmtime(so) >= osp.getmtime(_SRC):
         return so
+    # compile to a temp name + atomic rename: an interrupted g++ must not
+    # leave a corrupt .so that the mtime check would then cache forever
+    tmp = so + f".tmp{os.getpid()}"
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-           "-lpng", "-ljpeg", "-pthread", "-o", so]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return so
-    except Exception as e:  # missing toolchain/libs -> python fallback
-        print(f"[native] loader build failed ({e}); using PIL path")
-        return None
+           "-lpng", "-ljpeg", "-pthread", "-o", tmp]
+    subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    os.replace(tmp, so)
+    return so
 
 
 def _load() -> ctypes.CDLL | None:
@@ -52,10 +52,12 @@ def _load() -> ctypes.CDLL | None:
         if _TRIED:
             return _LIB
         _TRIED = True
-        so = _build()
-        if so is None:
+        try:
+            so = _build()
+            lib = ctypes.CDLL(so)
+        except Exception as e:  # toolchain/libs/corrupt-.so -> fallback
+            print(f"[native] loader unavailable ({e}); using PIL path")
             return None
-        lib = ctypes.CDLL(so)
         lib.nefes_load_images.restype = ctypes.c_int
         lib.nefes_load_images.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,

@@ -15,6 +15,7 @@
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <csetjmp>
 #include <thread>
@@ -46,9 +47,14 @@ Decoded decode_png(const char* path) {
   png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
                                            nullptr, nullptr);
   png_infop info = png ? png_create_info_struct(png) : nullptr;
+  // row-pointer buffer is malloc'd (NOT a std::vector): libpng reports
+  // errors via longjmp, which must not skip C++ destructors
+  png_bytep* rows = nullptr;
   if (!png || !info || setjmp(png_jmpbuf(png))) {
+    std::free(rows);
     if (png) png_destroy_read_struct(&png, info ? &info : nullptr, nullptr);
     std::fclose(fp);
+    out.ok = false;
     return out;
   }
   png_init_io(png, fp);
@@ -71,10 +77,12 @@ Decoded decode_png(const char* path) {
   out.h = (int)h;
   out.w = (int)w;
   out.rgb.resize((size_t)h * w * 3);
-  std::vector<png_bytep> rows(h);
+  rows = (png_bytep*)std::malloc(sizeof(png_bytep) * h);
+  if (!rows) longjmp(png_jmpbuf(png), 1);
   for (png_uint_32 y = 0; y < h; ++y)
     rows[y] = out.rgb.data() + (size_t)y * w * 3;
-  png_read_image(png, rows.data());
+  png_read_image(png, rows);
+  std::free(rows);
   png_destroy_read_struct(&png, &info, nullptr);
   std::fclose(fp);
   out.ok = true;

@@ -81,3 +81,12 @@ def test_load_pose_avg_stats_false_computes_from_split(tmp_path):
     assert np.all(np.isfinite(sc_comp.poses))
     assert np.abs(sc_comp.pose_avg_stats
                   - sc_file.pose_avg_stats).max() > 1e-3
+
+
+def test_unknown_cli_flags_ignored_with_print(capsys):
+    from nefes_tpu.cli.options import options_from_cli
+    opts = options_from_cli(["--eval", "true", "--dfnet", "1",
+                             "--N_rand", "64"])
+    assert opts.N_rand == 64
+    out = capsys.readouterr().out
+    assert "ignoring unknown CLI args" in out
