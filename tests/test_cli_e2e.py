@@ -84,3 +84,29 @@ def test_colmap_loader_reads_fixture(fx):
     assert sc.poses.shape == (4, 3, 4)
     assert sc.images.shape[1:] == (60, 80, 3)
     assert np.all(np.isfinite(sc.poses))
+
+
+def test_refine_cli_mode2_end_to_end(fx):
+    """Mode-2 (APR-weight) refinement through the CLI: host-side target
+    precompute, batched refinement, verification fail-safe, txt output."""
+    paths, root = fx
+    from nefes_tpu.cli.refine import main
+    cwd = os.getcwd()
+    os.chdir(root)
+    try:
+        s = main(["--dataset_type", "7Scenes", "--datadir",
+                  paths["datadir"], "--data_root", paths["data_root"],
+                  "--df", "8", "--netdepth", "2", "--netwidth", "32",
+                  "--feature_dim", "8", "--multires", "4",
+                  "--multires_views", "2", "--N_samples", "4",
+                  "--N_importance", "4", "--pose_only", "2",
+                  "--opt_iter", "1", "--tinyscale", "4",
+                  "--refine_batch", "2"])
+    finally:
+        os.chdir(cwd)
+    assert s["n_frames"] == 4
+    assert np.isfinite(s["median_t_m"])
+    out = os.path.join(root, "tmp", "DFNet_NeFeS1_7Scenes", "chess",
+                       "DFNet_chess_NeFeS1_APR_pose_results.txt")
+    assert os.path.exists(out)
+    assert np.loadtxt(out).shape == (4, 12)
