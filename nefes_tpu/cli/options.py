@@ -47,6 +47,9 @@ class Options:
     multires: int = 10
     multires_views: int = 4
     reduce_embedding: int = -1
+    # epochs until the Nerfies window opens fully (reduce_embedding=2,
+    # reference options.py:17); <=0 means "over the whole run"
+    epochToMaxFreq: int = -1
 
     # rendering (options.py:94-106)
     N_samples: int = 64

@@ -58,9 +58,8 @@ def build_model(opts):
     from nefes_tpu.train import ModelConfig, NeFeSModel
     # reduce_embedding modes (reference get_embedder reduce_mode):
     # 0 = half the frequency bands, 1 = identity (no encoding),
-    # 2 = Nerfies coarse-to-fine window — available via
-    # fields.embedder.cosine_window/embed(window=...) in custom loops;
-    # the jitted CLI steps use the full bands with a notice.
+    # 2 = Nerfies coarse-to-fine window, annealed per epoch as a traced
+    # argument of the jitted train steps (see window_for_epoch below)
     if opts.reduce_embedding == 0:
         xyz = EmbedConfig.reduced(opts.multires)
         dirs = EmbedConfig.reduced(opts.multires_views)
@@ -68,10 +67,6 @@ def build_model(opts):
         xyz = EmbedConfig.identity()
         dirs = EmbedConfig.identity()
     else:
-        if opts.reduce_embedding == 2:
-            print("NOTE: reduce_embedding=2 (windowed c2f) uses full "
-                  "bands in the jitted train steps; the window is exposed "
-                  "as embedder.cosine_window for custom loops")
         xyz = EmbedConfig(num_freqs=opts.multires)
         dirs = EmbedConfig(num_freqs=opts.multires_views)
     cfg = ModelConfig(
@@ -85,6 +80,18 @@ def build_model(opts):
         dir_embed=dirs,
     )
     return cfg, NeFeSModel(cfg)
+
+
+def window_for_epoch(opts, cfg, epoch: int):
+    """Nerfies coarse-to-fine band weights for reduce_embedding=2
+    (reference embed_DNeRF + i_epoch rethreading, run_nefes.py:370-371);
+    None for every other mode."""
+    if opts.reduce_embedding != 2:
+        return None
+    from nefes_tpu.fields.embedder import train_windows
+    n_full = (opts.epochToMaxFreq if opts.epochToMaxFreq > 0
+              else max(opts.epochs, 1))
+    return train_windows(float(epoch), cfg.xyz_embed, cfg.dir_embed, n_full)
 
 
 def precompute_targets(opts, scene, dfnet_bundle):
@@ -218,7 +225,8 @@ def main(argv=None):
             full_hwf, near, far, rcfg_test, dfnet_bundle, step,
             basedir=opts.basedir, expname=opts.expname,
             tinyscale=opts.tinyscale,
-            with_feature=dfnet_bundle is not None)
+            with_feature=dfnet_bundle is not None,
+            window=window_for_epoch(opts, cfg, step))
 
     if opts.render_test:
         # render-only entry (reference run_nefes.py:328-333): evaluate the
@@ -250,6 +258,7 @@ def main(argv=None):
                  else stage_for_epoch(opts.new_schedule, epoch))
         lr = jnp.asarray(lr_for_epoch(epoch, opts.lrate, opts.lrate_decay))
         perm = order_rng.permutation(n)
+        window = window_for_epoch(opts, cfg, epoch)
         epoch_trace = (trace(opts.profile_dir)
                        if opts.profile_dir and epoch == profile_epoch
                        else contextlib.nullcontext())
@@ -267,11 +276,12 @@ def main(argv=None):
                 if stage == 2:
                     state, loss, aux = train_step_patch(
                         model, rcfg, tx, state, batch, k, lr, hwf, near,
-                        far)
+                        far, window=window)
                 else:
                     state, loss, aux = train_step_rays(
                         model, rcfg, tx, state, batch, k, lr, hwf, near,
-                        far, n_rand=opts.N_rand, stage=stage, aux=aux_cfg)
+                        far, n_rand=opts.N_rand, stage=stage, aux=aux_cfg,
+                        window=window)
         state = state.replace(epoch=jnp.asarray(epoch + 1, jnp.int32))
 
         if epoch % opts.i_print == 0:

@@ -86,3 +86,13 @@ def cosine_window(num_freqs: int, epoch: float, epochs_to_full: float) -> jnp.nd
     bands = jnp.arange(num_freqs, dtype=jnp.float32)
     t = jnp.clip(alpha - bands, 0.0, 1.0)
     return (1.0 - jnp.cos(jnp.pi * t)) * 0.5
+
+
+def train_windows(epoch: float, xyz_cfg: EmbedConfig, dir_cfg: EmbedConfig,
+                  epochs_to_full: float) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(xyz_window, dir_window) for reduce_embedding=2 at a given epoch —
+    the pair the trainer threads through the jitted steps as TRACED arrays
+    (the reference re-reads render_kwargs['i_epoch'] every epoch,
+    run_nefes.py:370-371)."""
+    return (cosine_window(xyz_cfg.num_freqs, epoch, epochs_to_full),
+            cosine_window(dir_cfg.num_freqs, epoch, epochs_to_full))

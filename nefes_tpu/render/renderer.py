@@ -67,8 +67,13 @@ FieldFn = Callable[..., dict]
 
 
 def _query(field_fn: FieldFn, params, pts: jnp.ndarray, viewdirs: jnp.ndarray,
-           cfg: RenderConfig, sigma_only: bool, output_transient: bool) -> dict:
+           cfg: RenderConfig, sigma_only: bool, output_transient: bool,
+           window=None) -> dict:
     """Embed sample points + dirs and apply the field over the (R, S) grid.
+
+    window: optional (xyz_window, dir_window) Nerfies coarse-to-fine band
+    weights (traced arrays — reduce_embedding=2, reference embed_DNeRF
+    nerfh_nff.py:282-297). None = full bands.
 
     On the fused path the embedding happens inside the Pallas kernel —
     field_fn consumes raw pts/dirs."""
@@ -76,11 +81,12 @@ def _query(field_fn: FieldFn, params, pts: jnp.ndarray, viewdirs: jnp.ndarray,
         dirs = None if sigma_only else jnp.broadcast_to(
             viewdirs[..., None, :], pts.shape)
         return field_fn(params, pts, dirs, sigma_only, output_transient)
-    xyz_emb = embed(pts, cfg.xyz_embed)
+    w_xyz, w_dir = window if window is not None else (None, None)
+    xyz_emb = embed(pts, cfg.xyz_embed, window=w_xyz)
     if sigma_only:
         return field_fn(params, xyz_emb, None, True, False)
     dirs = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
-    dir_emb = embed(dirs, cfg.dir_embed)
+    dir_emb = embed(dirs, cfg.dir_embed, window=w_dir)
     return field_fn(params, xyz_emb, dir_emb, False, output_transient)
 
 
@@ -89,7 +95,7 @@ def render_rays(coarse_fn: FieldFn, fine_fn: FieldFn | None,
                 rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                 near: jnp.ndarray | float, far: jnp.ndarray | float,
                 rng: jax.Array | None, cfg: RenderConfig,
-                remat: bool = True) -> dict:
+                remat: bool = True, window=None) -> dict:
     """Render a batch of rays. rays_o/rays_d: (R, 3).
 
     Returns dict with rgb/feat/disp/acc/depth (+ rgb0/feat0/disp0/acc0,
@@ -98,6 +104,9 @@ def render_rays(coarse_fn: FieldFn, fine_fn: FieldFn | None,
 
     ``remat``: rematerialize field activations in the backward pass — the
     (R, S, width) activations dominate HBM; recompute beats spilling.
+    ``window``: optional (xyz_window, dir_window) Nerfies coarse-to-fine
+    band weights, traced (reduce_embedding=2; annealed per epoch by the
+    trainer without recompilation).
     """
     n_rays = rays_o.shape[0]
     viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
@@ -120,7 +129,7 @@ def render_rays(coarse_fn: FieldFn, fine_fn: FieldFn | None,
     # coarse pass: sigma-only at test (fast path, rendering.py:117-125)
     coarse_sigma_only = cfg.test_time and cfg.n_importance > 0
     raw_c = query(coarse_fn, coarse_params, pts, viewdirs, cfg,
-                  coarse_sigma_only, False)
+                  coarse_sigma_only, False, window)
     out_c = composite(raw_c, z_vals, raw_noise_std=cfg.raw_noise_std,
                       noise_rng=rng_noise, output_transient=False,
                       white_bkgd=cfg.white_bkgd, test_time=cfg.test_time,
@@ -137,7 +146,7 @@ def render_rays(coarse_fn: FieldFn, fine_fn: FieldFn | None,
     pts_f = rays_o[..., None, :] + rays_d[..., None, :] * z_vals_f[..., None]
 
     raw_f = query(fine_fn, fine_params, pts_f, viewdirs, cfg, False,
-                  cfg.output_transient)
+                  cfg.output_transient, window)
     out_f = composite(raw_f, z_vals_f, raw_noise_std=cfg.raw_noise_std,
                       noise_rng=rng_noise,
                       output_transient=cfg.output_transient,
@@ -165,7 +174,7 @@ def render_image(coarse_fn: FieldFn, fine_fn: FieldFn | None,
                  H: int, W: int, focal: float, c2w: jnp.ndarray,
                  near: float, far: float, cfg: RenderConfig,
                  rng: jax.Array | None = None,
-                 block_rays: int = 0) -> dict:
+                 block_rays: int = 0, window=None) -> dict:
     """Render a full H×W image from a (3, 4) camera pose.
 
     block_rays > 0 bounds peak memory by lax.map-ing over fixed-size ray
@@ -177,7 +186,7 @@ def render_image(coarse_fn: FieldFn, fine_fn: FieldFn | None,
     rays_o = rays_o.reshape(-1, 3)
     rays_d = rays_d.reshape(-1, 3)
     run = partial(render_rays, coarse_fn, fine_fn, coarse_params, fine_params,
-                  near=near, far=far, rng=rng, cfg=cfg)
+                  near=near, far=far, rng=rng, cfg=cfg, window=window)
 
     if block_rays and rays_o.shape[0] > block_rays:
         n = rays_o.shape[0]

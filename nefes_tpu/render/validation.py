@@ -39,14 +39,15 @@ EPOCH_TO_FUSION = 200
                                    "use_fusion"))
 def _render_one(model: NeFeSModel, variables, pose34, hist, hwf: tuple,
                 near: float, far: float, cfg: RenderConfig,
-                tinyscale: float, use_fusion: bool):
+                tinyscale: float, use_fusion: bool, window=None):
     """Render one pose at H/tinyscale; returns full-res rgb + feat maps
     (bicubic-upsampled) and the small disparity map."""
     H, W, focal = hwf
     h, w = int(H // tinyscale), int(W // tinyscale)
     params = variables["params"]
     out = render_image(model.coarse_fn, model.fine_fn, params, params,
-                       h, w, focal / tinyscale, pose34, near, far, cfg)
+                       h, w, focal / tinyscale, pose34, near, far, cfg,
+                       window=window)
     rgb = model.apply_exposure(params, hist[None],
                                out["rgb"].reshape(1, -1, 3))
     rgb_small = rgb.reshape(h, w, 3)
@@ -71,7 +72,8 @@ def render_path_with_feature(model: NeFeSModel, variables, poses, hists,
                              cfg: RenderConfig, gt_images,
                              dfnet_bundle, global_step: int,
                              tinyscale: float = 4.0,
-                             savedir: str | None = None) -> dict:
+                             savedir: str | None = None,
+                             window=None) -> dict:
     """poses (N,3,4), hists (N,bins), gt_images (N,H,W,3) f32 [0,1].
 
     Returns {"psnr": mean, "feat_cos": mean, "per_frame": [...]} and, when
@@ -91,7 +93,7 @@ def render_path_with_feature(model: NeFeSModel, variables, poses, hists,
     for i in range(len(poses)):
         out = _render_one(model, variables, jnp.asarray(poses[i]),
                           jnp.asarray(hists[i]), hwf, near, far,
-                          cfg, tinyscale, use_fusion)
+                          cfg, tinyscale, use_fusion, window)
         rgb = np.asarray(out["rgb"])
         gt = np.asarray(gt_images[i])
         # PSNR over the FULL image — the reference crops only the feature
@@ -121,12 +123,13 @@ def render_path_with_feature(model: NeFeSModel, variables, poses, hists,
 
 @partial(jax.jit, static_argnames=("model", "cfg", "hwf"))
 def _render_one_full(model: NeFeSModel, variables, pose34, hist, hwf: tuple,
-                     near: float, far: float, cfg: RenderConfig):
+                     near: float, far: float, cfg: RenderConfig,
+                     window=None):
     H, W, focal = hwf
     params = variables["params"]
     out = render_image(model.coarse_fn, model.fine_fn, params, params,
                        H, W, focal, pose34, near, far, cfg,
-                       block_rays=4096)
+                       block_rays=4096, window=window)
     rgb = model.apply_exposure(params, hist[None],
                                out["rgb"].reshape(1, -1, 3))
     return {"rgb": rgb.reshape(H, W, 3), "disp": out["disp"]}
@@ -134,7 +137,7 @@ def _render_one_full(model: NeFeSModel, variables, pose34, hist, hwf: tuple,
 
 def render_path(model: NeFeSModel, variables, poses, hists, hwf: tuple,
                 near: float, far: float, cfg: RenderConfig, gt_images=None,
-                savedir: str | None = None) -> dict:
+                savedir: str | None = None, window=None) -> dict:
     """Full-resolution render of each pose + PSNR + PNG dumps (reference
     rendering.py:246-318)."""
     psnrs = []
@@ -142,7 +145,8 @@ def render_path(model: NeFeSModel, variables, poses, hists, hwf: tuple,
         ensure_dir(savedir)
     for i in range(len(poses)):
         out = _render_one_full(model, variables, jnp.asarray(poses[i]),
-                               jnp.asarray(hists[i]), hwf, near, far, cfg)
+                               jnp.asarray(hists[i]), hwf, near, far, cfg,
+                               window)
         rgb = np.asarray(out["rgb"])
         if gt_images is not None:
             gt = np.asarray(gt_images[i])
@@ -163,7 +167,7 @@ def render_test(model: NeFeSModel, variables, train_views: dict,
                 val_views: dict, hwf: tuple, near: float, far: float,
                 cfg: RenderConfig, dfnet_bundle, global_step: int,
                 basedir: str, expname: str, tinyscale: float = 4.0,
-                with_feature: bool = True) -> dict:
+                with_feature: bool = True, window=None) -> dict:
     """Render holdout train views + all val views into
     evaluate_{train,val}_{step} dirs (reference run_nefes.py:387-481 /
     rendering.py:320-414). views dicts: poses/hists/images arrays."""
@@ -177,11 +181,12 @@ def render_test(model: NeFeSModel, variables, train_views: dict,
             results[name] = render_path_with_feature(
                 model, variables, views["poses"], views["hists"], hwf,
                 near, far, cfg, views["images"], dfnet_bundle, global_step,
-                tinyscale=tinyscale, savedir=savedir)
+                tinyscale=tinyscale, savedir=savedir, window=window)
         else:
             results[name] = render_path(
                 model, variables, views["poses"], views["hists"], hwf,
-                near, far, cfg, gt_images=views["images"], savedir=savedir)
+                near, far, cfg, gt_images=views["images"], savedir=savedir,
+                window=window)
         print(f"[render_test] {name}: " + " ".join(
             f"{k}={v:.4f}" for k, v in results[name].items()
             if isinstance(v, float)), flush=True)

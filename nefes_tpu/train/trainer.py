@@ -149,13 +149,14 @@ def _select_ray_pixels(rng: jax.Array, n_rand: int, H: int, W: int,
 
 
 def _render_selected(model: NeFeSModel, params, poses, px, py, hists,
-                     H, W, focal, near, far, rng, cfg: RenderConfig):
+                     H, W, focal, near, far, rng, cfg: RenderConfig,
+                     window=None):
     """Render rays at per-image pixel coords. px/py: (B, N). Returns the
     train render dict with (B, N, ...) leaves."""
     def one(pose, pxi, pyi, key):
         ro, rd = get_ray_at(pxi, pyi, focal, H, W, pose)
         return render_rays(model.coarse_fn, model.fine_fn, params, params,
-                           ro, rd, near, far, key, cfg)
+                           ro, rd, near, far, key, cfg, window=window)
     keys = jax.random.split(rng, poses.shape[0])
     return jax.vmap(one)(poses, px, py, keys)
 
@@ -174,9 +175,14 @@ def train_step_rays(model: NeFeSModel, cfg: RenderConfig,
                     state: TrainState, batch: dict, rng: jax.Array,
                     lr: jnp.ndarray, hwf: tuple, near: float, far: float,
                     n_rand: int = 1536, stage: int = 0,
-                    aux: AuxConfig = AuxConfig()):
+                    aux: AuxConfig = AuxConfig(), window=None):
     """One random-ray step. batch: rgb (B,H,W,3) [render-scale], poses
-    (B,3,4), hists (B,bins), feat (B,H,W,F) when stage>=1, mask optional."""
+    (B,3,4), hists (B,bins), feat (B,H,W,F) when stage>=1, mask optional.
+
+    window: optional (xyz_window, dir_window) Nerfies coarse-to-fine band
+    weights for reduce_embedding=2 — TRACED, so per-epoch annealing
+    (reference embed_DNeRF, nerfh_nff.py:272-297 + run_nefes.py:370-371)
+    reuses one compiled program."""
     H, W, focal = hwf
     B = batch["poses"].shape[0]
     rng_sel, rng_render, rng_aux = jax.random.split(rng, 3)
@@ -194,7 +200,7 @@ def train_step_rays(model: NeFeSModel, cfg: RenderConfig,
     def loss_fn(params):
         out = _render_selected(model, params, batch["poses"], px, py,
                                batch["hists"], H, W, focal, near, far,
-                               rng_render, cfg)
+                               rng_render, cfg, window)
         out = _finalize_rgb(model, params, out, batch["hists"])
         loss, metrics = nefes_training_loss(out, target_rgb, target_feat,
                                             fusion_out=None,
@@ -222,7 +228,7 @@ def train_step_patch(model: NeFeSModel, cfg: RenderConfig,
                      tx: optax.GradientTransformation,
                      state: TrainState, batch: dict, rng: jax.Array,
                      lr: jnp.ndarray, hwf: tuple, near: float, far: float,
-                     stage: int = 2):
+                     stage: int = 2, window=None):
     """Stage-2 step: NUM_CROPS random CROP_SIZE² patches (same coordinates
     for every image in the batch, as the reference does at
     run_nefes.py:85-94), rendered and pushed through the fusion CNN."""
@@ -252,7 +258,7 @@ def train_step_patch(model: NeFeSModel, cfg: RenderConfig,
         params = variables["params"]
         out = _render_selected(model, params, batch["poses"], pxf, pyf,
                                batch["hists"], H, W, focal, near, far,
-                               rng_render, cfg)
+                               rng_render, cfg, window)
         out = _finalize_rgb(model, params, out, batch["hists"])
         # reshape rays -> (B*crops, 16, 16, C) patch images for the CNN
         as_img = lambda x: x.reshape(B * NUM_CROPS, CROP_SIZE, CROP_SIZE,

@@ -90,3 +90,68 @@ def test_unknown_cli_flags_ignored_with_print(capsys):
     assert opts.N_rand == 64
     out = capsys.readouterr().out
     assert "ignoring unknown CLI args" in out
+
+
+def test_nerfies_window_anneals_embedding_in_train_step():
+    """reduce_embedding=2: the window is a TRACED argument of the jitted
+    train step and actually changes the computation (reference embed_DNeRF,
+    nerfh_nff.py:272-297)."""
+    from nefes_tpu.fields.embedder import cosine_window, embed, train_windows
+
+    # Eq.8 progression: closed at epoch 0, fully open at epochs_to_full
+    w0 = np.asarray(cosine_window(4, 0.0, 100.0))
+    w_mid = np.asarray(cosine_window(4, 50.0, 100.0))
+    w_full = np.asarray(cosine_window(4, 100.0, 100.0))
+    np.testing.assert_allclose(w0, 0.0, atol=1e-7)
+    np.testing.assert_allclose(w_full, 1.0, atol=1e-7)
+    assert np.all(w_mid[:-1] >= w_mid[1:])  # lower bands open first
+
+    # closed window kills every frequency channel, keeps identity input
+    ec = EmbedConfig(num_freqs=4)
+    x = jnp.asarray([[0.3, -0.2, 0.9]])
+    e0 = np.asarray(embed(x, ec, window=jnp.zeros(4)))
+    np.testing.assert_allclose(e0[:, :3], np.asarray(x), atol=1e-7)
+    np.testing.assert_allclose(e0[:, 3:], 0.0, atol=1e-7)
+    # all-ones window == no window
+    np.testing.assert_array_equal(
+        np.asarray(embed(x, ec, window=jnp.ones(4))),
+        np.asarray(embed(x, ec)))
+
+    # the jitted train step consumes the window: epoch-0 (closed) and
+    # late-epoch (open) windows give DIFFERENT losses; open == None
+    cfg = ModelConfig.tiny()
+    scene = make_synthetic_scene(n_views=2, H=12, W=12)
+    model = NeFeSModel(cfg)
+    tx = make_optimizer()
+    state = create_train_state(model, jax.random.key(0), tx)
+    rcfg = cfg.render_config(n_samples=4, n_importance=4, perturb=False)
+    batch = {"rgb": jnp.asarray(scene.images),
+             "poses": jnp.asarray(scene.poses),
+             "hists": jnp.asarray(scene.hists)}
+    hwf = (12, 12, float(scene.focal))
+
+    def run(window):
+        _, loss, _ = train_step_rays(
+            model, rcfg, tx, state, batch, jax.random.key(1),
+            jnp.asarray(1e-3), hwf, scene.near, scene.far, n_rand=16,
+            stage=0, window=window)
+        return float(loss)
+
+    closed = run(train_windows(0.0, cfg.xyz_embed, cfg.dir_embed, 100.0))
+    opened = run(train_windows(100.0, cfg.xyz_embed, cfg.dir_embed, 100.0))
+    none = run(None)
+    assert closed != opened
+    np.testing.assert_allclose(opened, none, rtol=1e-6)
+
+
+def test_window_for_epoch_cli_helper():
+    from nefes_tpu.cli.options import Options
+    from nefes_tpu.cli.train import window_for_epoch
+    cfg = ModelConfig.tiny()
+    opts = Options(reduce_embedding=2, epochs=100, epochToMaxFreq=-1)
+    w = window_for_epoch(opts, cfg, 0)
+    assert w is not None and len(w) == 2
+    np.testing.assert_allclose(np.asarray(w[0]), 0.0, atol=1e-7)
+    w_end = window_for_epoch(opts, cfg, 100)
+    np.testing.assert_allclose(np.asarray(w_end[0]), 1.0, atol=1e-7)
+    assert window_for_epoch(Options(reduce_embedding=-1), cfg, 5) is None
