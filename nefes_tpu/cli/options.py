@@ -133,6 +133,13 @@ class Options:
 
     # eval / render
     render_test: bool = False
+    # mp4 artifacts (reference options.py:19,23-24): *_video_* write the
+    # validation renders as videos; render_pose_only renders a spiral
+    # camera path around the train poses and exits
+    render_video_train: bool = False
+    render_video_test: bool = False
+    render_pose_only: bool = False
+    spiral_views: int = 120
 
     # profiling (utils/profiling.py; replaces the reference's
     # PROFILE_TIME prints, rendering.py:18)

@@ -226,7 +226,21 @@ def main(argv=None):
             basedir=opts.basedir, expname=opts.expname,
             tinyscale=opts.tinyscale,
             with_feature=dfnet_bundle is not None,
-            window=window_for_epoch(opts, cfg, step))
+            window=window_for_epoch(opts, cfg, step),
+            render_video=(opts.render_video_train, opts.render_video_test))
+
+    if opts.render_pose_only:
+        # spiral-video entry (reference --render_pose_only, options.py:19):
+        # render a spiral path around the train poses and exit
+        from nefes_tpu.render.validation import render_spiral_video
+        full_hwf = (scene.H, scene.W, float(scene.focal))
+        path = render_spiral_video(
+            model, state.variables, scene, full_hwf, near, far, rcfg_test,
+            os.path.join(expdir, f"{opts.expname}_spiral.mp4"),
+            n_views=opts.spiral_views,
+            window=window_for_epoch(opts, cfg, int(state.epoch)))
+        print(f"saved spiral video {path}")
+        return state
 
     if opts.render_test:
         # render-only entry (reference run_nefes.py:328-333): evaluate the

@@ -87,7 +87,7 @@ def render_path_with_feature(model: NeFeSModel, variables, poses, hists,
 
     gt_feats = extract_target_features(dfnet, dfvars,
                                        jnp.asarray(gt_images), H, W)
-    psnrs, coses = [], []
+    psnrs, coses, frames_rgb, frames_disp = [], [], [], []
     if savedir:
         ensure_dir(savedir)
     for i in range(len(poses)):
@@ -104,6 +104,8 @@ def render_path_with_feature(model: NeFeSModel, variables, poses, hists,
         cos = float(feature_cosine_loss(feat_c, gt_c, per_pixel=True))
         psnrs.append(float(p))
         coses.append(cos)
+        frames_rgb.append(np.clip(rgb, 0.0, 1.0))
+        frames_disp.append(np.asarray(out["disp"]))
         if savedir:
             save_png(os.path.join(savedir, f"{i:03d}.png"), rgb)
             save_png(os.path.join(savedir, f"{i:03d}_GT.png"), gt)
@@ -118,7 +120,9 @@ def render_path_with_feature(model: NeFeSModel, variables, poses, hists,
                 np.asarray(gt_c))
     return {"psnr": float(np.mean(psnrs)),
             "feat_cos": float(np.mean(coses)),
-            "per_frame": list(zip(psnrs, coses))}
+            "per_frame": list(zip(psnrs, coses)),
+            "frames_rgb": np.stack(frames_rgb),
+            "frames_disp": np.stack(frames_disp)}
 
 
 @partial(jax.jit, static_argnames=("model", "cfg", "hwf"))
@@ -140,7 +144,7 @@ def render_path(model: NeFeSModel, variables, poses, hists, hwf: tuple,
                 savedir: str | None = None, window=None) -> dict:
     """Full-resolution render of each pose + PSNR + PNG dumps (reference
     rendering.py:246-318)."""
-    psnrs = []
+    psnrs, frames_rgb, frames_disp = [], [], []
     if savedir:
         ensure_dir(savedir)
     for i in range(len(poses)):
@@ -148,6 +152,8 @@ def render_path(model: NeFeSModel, variables, poses, hists, hwf: tuple,
                                jnp.asarray(hists[i]), hwf, near, far, cfg,
                                window)
         rgb = np.asarray(out["rgb"])
+        frames_rgb.append(np.clip(rgb, 0.0, 1.0))
+        frames_disp.append(np.asarray(out["disp"]))
         if gt_images is not None:
             gt = np.asarray(gt_images[i])
             psnrs.append(float(-10.0 * np.log10(
@@ -160,19 +166,27 @@ def render_path(model: NeFeSModel, variables, poses, hists, hwf: tuple,
             disp = np.asarray(out["disp"])
             save_png(os.path.join(savedir, f"{i:03d}_disp.png"),
                      disp / max(disp.max(), 1e-8))
-    return {"psnr": float(np.mean(psnrs)) if psnrs else float("nan")}
+    return {"psnr": float(np.mean(psnrs)) if psnrs else float("nan"),
+            "frames_rgb": np.stack(frames_rgb) if frames_rgb else None,
+            "frames_disp": np.stack(frames_disp) if frames_disp else None}
 
 
 def render_test(model: NeFeSModel, variables, train_views: dict,
                 val_views: dict, hwf: tuple, near: float, far: float,
                 cfg: RenderConfig, dfnet_bundle, global_step: int,
                 basedir: str, expname: str, tinyscale: float = 4.0,
-                with_feature: bool = True, window=None) -> dict:
+                with_feature: bool = True, window=None,
+                render_video: tuple = (False, False)) -> dict:
     """Render holdout train views + all val views into
     evaluate_{train,val}_{step} dirs (reference run_nefes.py:387-481 /
-    rendering.py:320-414). views dicts: poses/hists/images arrays."""
+    rendering.py:320-414). views dicts: poses/hists/images arrays.
+
+    render_video: (train, val) flags — write <expname>_<split>set_<step>_
+    {rgb,disp}.mp4 next to the evaluate dirs (reference render_video_train/
+    render_video_test, run_nefes.py:360-364,407-411)."""
     results = {}
-    for name, views in (("train", train_views), ("val", val_views)):
+    for (name, views), video in zip(
+            (("train", train_views), ("val", val_views)), render_video):
         if views is None or len(views["poses"]) == 0:
             continue
         savedir = os.path.join(basedir, expname,
@@ -190,6 +204,14 @@ def render_test(model: NeFeSModel, variables, train_views: dict,
         print(f"[render_test] {name}: " + " ".join(
             f"{k}={v:.4f}" for k, v in results[name].items()
             if isinstance(v, float)), flush=True)
+        if video and results[name].get("frames_rgb") is not None:
+            from nefes_tpu.utils.video import write_mp4
+            base = os.path.join(basedir, expname,
+                                f"{expname}_{name}set_{global_step:06d}_")
+            disps = results[name]["frames_disp"]
+            write_mp4(base + "rgb.mp4", results[name]["frames_rgb"])
+            write_mp4(base + "disp.mp4", disps / max(disps.max(), 1e-8))
+            print(f"[render_test] wrote {base}{{rgb,disp}}.mp4", flush=True)
     return results
 
 
@@ -227,3 +249,29 @@ def holdout_views(scene, skip: int = 10, limit: int | None = None) -> dict:
         idx = idx[:limit]
     return {"poses": scene.poses[idx], "hists": scene.hists[idx],
             "images": scene.images[idx]}
+
+
+def render_spiral_video(model: NeFeSModel, variables, scene, hwf: tuple,
+                        near: float, far: float, cfg: RenderConfig,
+                        out_path: str, n_views: int = 120,
+                        fps: int = 15, window=None) -> str:
+    """Render a spiral camera path around the scene's training poses and
+    write it as an mp4 (the reference's --render_pose_only spiral video,
+    options.py:19, via generate_render_pose — load_7Scenes.py:196-233).
+
+    scene: SceneData (poses/hists/near/far). Returns the mp4 path."""
+    from nefes_tpu.data.view_selection import generate_render_pose
+    from nefes_tpu.utils.video import write_mp4
+
+    # guard near=0 scenes (7-Scenes world_setup): the LLFF focus-depth
+    # formula divides by the close bound
+    spiral = generate_render_pose(np.asarray(scene.poses),
+                                  (max(near, 0.1), far), n_views=n_views)
+    hist = np.asarray(scene.hists).mean(axis=0)   # representative exposure
+    frames = []
+    for pose in spiral:
+        out = _render_one_full(model, variables, jnp.asarray(pose[:3, :4]),
+                               jnp.asarray(hist), hwf, near, far, cfg,
+                               window)
+        frames.append(np.clip(np.asarray(out["rgb"]), 0.0, 1.0))
+    return write_mp4(out_path, np.stack(frames), fps=fps)

@@ -110,3 +110,33 @@ def test_refine_cli_mode2_end_to_end(fx):
                        "DFNet_chess_NeFeS1_APR_pose_results.txt")
     assert os.path.exists(out)
     assert np.loadtxt(out).shape == (4, 12)
+
+
+def test_video_artifacts_written(fx):
+    """render_video_train/test + spiral mp4s (reference options.py:19,23-24
+    via run_nefes.py:360-364,407-411) come out of the CLI as real videos."""
+    paths, root = fx
+    from nefes_tpu.cli.train import main
+    from nefes_tpu.utils.video import read_mp4
+
+    main(_args(paths, root, expname="vid", epochs=1, new_schedule=1,
+               i_testset=1, render_video_train=True,
+               render_video_test=True))
+    exp = os.path.join(root, "logs", "vid")
+    mp4s = sorted(f for f in os.listdir(exp) if f.endswith(".mp4"))
+    assert any("trainset" in f and "rgb" in f for f in mp4s), mp4s
+    assert any("trainset" in f and "disp" in f for f in mp4s), mp4s
+    assert any("valset" in f and "rgb" in f for f in mp4s), mp4s
+    frames = read_mp4(os.path.join(exp, mp4s[0]))
+    assert frames.ndim == 4 and frames.shape[0] >= 1
+    assert frames.shape[3] == 3
+
+    # spiral entry renders a path video and exits without training
+    ckpt_dir = os.path.join(root, "logs", "stage1", "ckpts")
+    ckpt = os.path.join(ckpt_dir, sorted(os.listdir(ckpt_dir))[-1])
+    main(_args(paths, root, expname="spiral", epochs=50, new_schedule=1,
+               render_pose_only=True, spiral_views=3, ft_path=ckpt))
+    spath = os.path.join(root, "logs", "spiral", "spiral_spiral.mp4")
+    assert os.path.exists(spath)
+    sframes = read_mp4(spath)
+    assert sframes.shape[0] == 3
