@@ -43,6 +43,19 @@ class Options:
     use_fusion_res: bool = False
     no_fusion_BN: bool = False
 
+    # field-model selection (options.py:43-48): nerfh_nff is the paper
+    # production field; tcnn/sh_nff select the hash-grid field, ffmlp (or
+    # nerfh_nff=False with NeRFW) the legacy NeRF-W/Hist tower, and
+    # NeRFW=False the plain-NeRF field — all via train/field_zoo.py
+    nerfh_nff: bool = True
+    ffmlp: bool = False
+    tcnn: bool = False
+    sh_nff: bool = False
+    # N_vocab embedding tables for the zoo fields (options.py:66,49,56)
+    N_vocab: int = 1000
+    hash_level: int = 16
+    bound: float = 25.0
+
     # embedding
     multires: int = 10
     multires_views: int = 4

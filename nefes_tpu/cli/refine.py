@@ -156,38 +156,48 @@ def main(argv=None):
                   else jnp.asarray(pose_avg))
         hwf_full = (test.H, test.W, float(test.focal))
         B = max(1, opts.refine_batch)
-        for i in range(0, n, B):
-            sl = slice(i, min(i + B, n))
+        slices = [slice(i, min(i + B, n)) for i in range(0, n, B)]
+
+        def stage(sl):
+            """Start the slice's host->device transfers (device_put is
+            async, so the NEXT slice's ~39 MB/frame of full-res targets
+            stream over the tunnel while the CURRENT slice's refinement
+            scan computes — without this the loop serialises transfer ->
+            compute -> readback every launch)."""
+            return (jax.device_put(test.images[sl]),
+                    jax.device_put(targets[sl]),
+                    None if masks_np is None
+                    else jax.device_put(masks_np[sl]))
+
+        staged = stage(slices[0]) if slices else None
+        for si, sl in enumerate(slices):
+            imgs_d, tgts_d, masks_d = staged
+            staged = stage(slices[si + 1]) if si + 1 < len(slices) else None
             nb = sl.stop - sl.start
             if nb == 1 or B == 1:
-                for j in range(sl.start, sl.stop):
+                for j in range(nb):
                     out = refine_apr_single(
                         model, variables, apr_module, apr_vars,
-                        jnp.asarray(test.images[j]),
-                        jnp.asarray(targets[j]), hists_dev[j], ws_vec,
-                        hwf_render, hwf_full, near, far, rcfg_render,
-                        rcfg,
-                        mask=None if masks_np is None
-                        else jnp.asarray(masks_np[j]),
+                        imgs_d[j], tgts_d[j], hists_dev[sl.start + j],
+                        ws_vec, hwf_render, hwf_full, near, far,
+                        rcfg_render, rcfg,
+                        mask=None if masks_d is None else masks_d[j],
                         **kw)
                     pose = out["refined_pose"] if opts.no_verification_step \
                         else apply_verification(out)
-                    out_poses[j] = np.asarray(pose)
+                    out_poses[sl.start + j] = np.asarray(pose)
             else:
                 out = refine_apr_batch(
                     model, variables, apr_module, apr_vars,
-                    jnp.asarray(test.images[sl]), jnp.asarray(targets[sl]),
-                    hists_dev[sl], ws_vec,
+                    imgs_d, tgts_d, hists_dev[sl], ws_vec,
                     hwf_render, hwf_full, near, far, rcfg_render, rcfg,
-                    masks=None if masks_np is None
-                    else jnp.asarray(masks_np[sl]),
-                    **kw)
+                    masks=masks_d, **kw)
                 poses = out["refined_pose"] if opts.no_verification_step \
                     else apply_verification(out)
                 out_poses[sl] = np.asarray(poses)
             results[sl] = pose_errors(out_poses[sl], test.poses[sl])
-            if i % 10 == 0:
-                print(f"renders {i}/total {n}", flush=True)
+            if sl.start % 10 == 0:
+                print(f"renders {sl.start}/total {n}", flush=True)
     else:  # pose_only == 3: APR init poses then SE(3) delta refinement
         from nefes_tpu.refine.apr_opt import apr_pose_any
         pose_avg_j = None if pose_avg is None else jnp.asarray(pose_avg)

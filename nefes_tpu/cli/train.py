@@ -52,10 +52,8 @@ def build_scene(opts, train: bool, pose_avg_override=None):
     raise ValueError(f"unknown dataset_type {opts.dataset_type!r}")
 
 
-def build_model(opts):
-    import jax.numpy as jnp
+def embed_configs(opts):
     from nefes_tpu.fields.embedder import EmbedConfig
-    from nefes_tpu.train import ModelConfig, NeFeSModel
     # reduce_embedding modes (reference get_embedder reduce_mode):
     # 0 = half the frequency bands, 1 = identity (no encoding),
     # 2 = Nerfies coarse-to-fine window, annealed per epoch as a traced
@@ -69,6 +67,22 @@ def build_model(opts):
     else:
         xyz = EmbedConfig(num_freqs=opts.multires)
         dirs = EmbedConfig(num_freqs=opts.multires_views)
+    return xyz, dirs
+
+
+def is_zoo_field(opts) -> bool:
+    """True when the flags select a non-NFF field (reference create_nerf
+    dispatch: models/options.py:43-48 + nerfh.py:539-552)."""
+    return (opts.tcnn or opts.sh_nff or opts.ffmlp
+            or not opts.nerfh_nff or not opts.NeRFW)
+
+
+def build_model(opts):
+    if is_zoo_field(opts):
+        from nefes_tpu.train.field_zoo import build_zoo_model
+        return build_zoo_model(opts)
+    from nefes_tpu.train import ModelConfig, NeFeSModel
+    xyz, dirs = embed_configs(opts)
     cfg = ModelConfig(
         depth=opts.netdepth, width=opts.netwidth,
         feature_dim=opts.feature_dim,
@@ -165,8 +179,16 @@ def main(argv=None):
 
     # frozen DFNet for feature targets (stages 1-2)
     dfnet_bundle = None
+    zoo = is_zoo_field(opts)
     needs_feat = opts.new_schedule == 2 or opts.color_feat_loss \
         or opts.color_feat_fusion_loss or opts.color_feat_fusion_nerfw_loss
+    if zoo and needs_feat:
+        raise ValueError(
+            "feature/fusion losses need the NeRFH-NFF field's feature "
+            "head; the selected zoo field "
+            f"({model.cfg.kind}) is color-only — train it with "
+            "new_schedule=1 (the reference's legacy fields are likewise "
+            "outside the run_nefes feature schedule)")
     if needs_feat:
         from nefes_tpu.features.dfnet import DFNet
         from nefes_tpu.features.convert import convert_dfnet, \
@@ -248,13 +270,22 @@ def main(argv=None):
         run_validation(int(state.epoch))
         return state
 
+    from dataclasses import replace as dc_replace
     aux_cfg = AuxConfig.from_options(opts, far)
-    if opts.l1normloss:
-        print("WARNING: l1normloss applies to hash-grid tables "
-              "(fields/hashgrid.py); ignored for the NeRFH-NFF field")
+    if opts.l1normloss and not (zoo and model.cfg.kind == "hash"):
+        print("WARNING: l1normloss regularises hash-grid tables; ignored "
+              "for this field (select the hash field with --tcnn)")
+        aux_cfg = dc_replace(aux_cfg, l1normloss=False)
+    target_depth = None
     if opts.depth_loss:
-        print("WARNING: depth_loss needs dpt depth targets; ignored "
-              "(aux_losses.depth_loss_dpt is available as a library fn)")
+        if scene.depths is None:
+            print("WARNING: depth_loss set but the dataset carries no "
+                  "dpt depth targets (Cambridge train/dpt); ignored")
+            aux_cfg = dc_replace(aux_cfg, depth=False)
+        else:
+            from nefes_tpu.utils.image import resize_bilinear
+            target_depth = np.asarray(resize_bilinear(
+                jnp.asarray(scene.depths[..., None]), h, w))[..., 0]
 
     n = len(scene)
     rng = jax.random.key(0)
@@ -286,6 +317,8 @@ def main(argv=None):
                     batch["feat"] = jnp.asarray(target_feat[idx])
                 if opts.semantic and scene.masks is not None:
                     batch["mask"] = jnp.asarray(scene.masks[idx])
+                if target_depth is not None:
+                    batch["depth"] = jnp.asarray(target_depth[idx])
                 rng, k = jax.random.split(rng)
                 if stage == 2:
                     state, loss, aux = train_step_patch(

@@ -76,6 +76,13 @@ class DFNet(nn.Module):
                  return_pose: bool = True, upsample_hw: tuple | None = None,
                  train_bn: bool = False):
         """x: (B, H, W, 3) RGB in [0,1]."""
+        if return_pose:
+            # the pose head global-pools conv5_3 after FIVE 2x2 maxpools;
+            # inputs under 32 px collapse to a zero-size map and the mean
+            # over it is silently NaN (torch's maxpool would error)
+            assert x.shape[1] >= 32 and x.shape[2] >= 32, (
+                f"DFNet pose head needs >=32x32 input, got "
+                f"{x.shape[1]}x{x.shape[2]}")
         mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
         std = jnp.asarray(IMAGENET_STD, x.dtype)
         h = ((x - mean) / std).astype(self.dtype)

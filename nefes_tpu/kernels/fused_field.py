@@ -336,6 +336,21 @@ def _bwd_kernel(spec, mode, need_dw, names, refs):
                 r[:] = jnp.zeros_like(r)
 
     _, a = _forward_tile(spec, mode, w, pts[:], dirs[:])
+    cts = {k: v[:] for k, v in cts.items()}
+    d_pts, d_dirs = _mlp_backward(spec, mode, need_dw, w, a, cts, dw)
+    d_pts_ref[:] = d_pts
+    if d_dirs is not None:
+        d_dirs_ref[:] = d_dirs
+    else:
+        d_dirs_ref[:] = jnp.zeros_like(d_dirs_ref)
+
+
+def _mlp_backward(spec, mode, need_dw, w, a, cts, dw):
+    """Backprop the MLP tower given head cotangents (values, not refs):
+    cts['sigma'] (T, 1) on the softplus OUTPUT, cts['rgbfeat'] (T, 131),
+    cts['transient'] (T, 5). Accumulates into dw refs when need_dw.
+    Returns (d_pts (T, 3) f32, d_dirs (T, 3) f32 | None). Shared by the
+    plain field backward and the composite-fused render backward."""
     cd = jnp.dtype(spec.dtype)
 
     def acc(name, val):
@@ -356,14 +371,14 @@ def _bwd_kernel(spec, mode, need_dw, names, refs):
         return _mm_t(g.astype(cd), w[wname], prefer=cd)
 
     # ---- heads ----
-    g_sig = cts["sigma"][:]
+    g_sig = cts["sigma"]
     dzs = g_sig * jax.nn.sigmoid(a["zs"])                  # softplus'
     dh = dmat(dzs, a[f"h{spec.depth - 1}"], "sig_w", "sig_b")
 
     d_final = None
     d_embd = None
     if mode != "sigma":
-        g_rf = cts["rgbfeat"][:]
+        g_rf = cts["rgbfeat"]
         dde = dmat(g_rf, a["de"], "rgb_w", "rgb_b")
         dzd = dde * _relu_mask(a["de"])
         d_final = dmat(dzd, a["final"], "dir_wh", "dir_b")
@@ -375,7 +390,7 @@ def _bwd_kernel(spec, mode, need_dw, names, refs):
         d_embd = _mm_t(dzd.astype(cd), w["dir_wd"]).astype(jnp.float32)
 
     if mode == "transient":
-        g_tr = cts["transient"][:]
+        g_tr = cts["transient"]
         dzts = g_tr[:, 0:1] * jax.nn.sigmoid(a["zts"])
         sig_tr = jax.nn.sigmoid(a["ztr"])
         dztr = g_tr[:, 1:4] * sig_tr * (1.0 - sig_tr)
@@ -439,11 +454,10 @@ def _bwd_kernel(spec, mode, need_dw, names, refs):
             out = out + dxs[:, 3 * k:3 * k + 3] * float(f)
         return out
 
-    d_pts_ref[:] = d_embed(d_emb, a["xs"], spec.n_freqs_xyz)
-    if d_embd is not None:
-        d_dirs_ref[:] = d_embed(d_embd, a["ds"], spec.n_freqs_dir)
-    else:
-        d_dirs_ref[:] = jnp.zeros_like(d_dirs_ref)
+    d_pts = d_embed(d_emb, a["xs"], spec.n_freqs_xyz)
+    d_dirs = (d_embed(d_embd, a["ds"], spec.n_freqs_dir)
+              if d_embd is not None else None)
+    return d_pts, d_dirs
 
 
 # --------------------------------------------------------------------------

@@ -4,5 +4,5 @@ from nefes_tpu.parallel.mesh import (
 )
 from nefes_tpu.parallel.train_dp import (
     make_sharded_train_step, render_rays_sharded,
-    refine_poses_sharded,
+    refine_apr_sharded, refine_poses_sharded,
 )

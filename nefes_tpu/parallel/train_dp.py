@@ -66,6 +66,48 @@ def refine_poses_sharded(model: NeFeSModel, variables, init_poses,
     return go(variables, init_poses, target_feats, hists)
 
 
+def refine_apr_sharded(model: NeFeSModel, variables, dfnet, dfnet_vars,
+                       images, targets, hists, ws_vec, hwf_render: tuple,
+                       hwf_full: tuple, near: float, far: float,
+                       cfg: RenderConfig, rcfg, mesh: Mesh,
+                       svd_reg: bool = True, masks=None,
+                       freeze_bn: bool = True, apr_kind: str = "DFNet",
+                       dataset_type: str = "7Scenes", pose_avg=None) -> dict:
+    """Mode-2 (APR-weight) refinement of a frame batch sharded across the
+    mesh — the paper-headline serving path at fleet scale. Each device
+    runs its frames' full 50-iteration APR-weight scans (including per-
+    frame DFNet/VGG16 forwards) independently; the field + APR weights
+    are replicated, the frame axis (images/targets/hists/masks) is split
+    over every mesh axis. Frame count must divide the device count
+    (callers pad with repeats and drop extras, as cli/refine.py does for
+    the vmapped batch).
+
+    Returns the refine_apr_batch dict with frame-sharded leaves."""
+    from nefes_tpu.refine.apr_opt import refine_apr_batch
+
+    frame_spec = NamedSharding(mesh, P(("data", "rays")))
+    rep = replicated(mesh)
+    images = jax.device_put(images, frame_spec)
+    targets = jax.device_put(targets, frame_spec)
+    hists = jax.device_put(hists, frame_spec)
+    if masks is not None:
+        masks = jax.device_put(masks, frame_spec)
+    variables = jax.device_put(variables, rep)
+    dfnet_vars = jax.device_put(dfnet_vars, rep)
+
+    kw = dict(svd_reg=svd_reg, freeze_bn=freeze_bn, apr_kind=apr_kind,
+              dataset_type=dataset_type, pose_avg=pose_avg)
+
+    @partial(jax.jit, out_shardings=frame_spec)
+    def go(variables, dfnet_vars, images, targets, hists, masks):
+        return refine_apr_batch(model, variables, dfnet, dfnet_vars,
+                                images, targets, hists, ws_vec,
+                                hwf_render, hwf_full, near, far, cfg,
+                                rcfg, masks=masks, **kw)
+
+    return go(variables, dfnet_vars, images, targets, hists, masks)
+
+
 def render_rays_sharded(model: NeFeSModel, params, rays_o, rays_d,
                         near, far, cfg: RenderConfig, mesh: Mesh):
     """Render one image's rays sharded across ALL devices of the mesh

@@ -45,7 +45,8 @@ def _render_one(model: NeFeSModel, variables, pose34, hist, hwf: tuple,
     H, W, focal = hwf
     h, w = int(H // tinyscale), int(W // tinyscale)
     params = variables["params"]
-    out = render_image(model.coarse_fn, model.fine_fn, params, params,
+    cfn, ffn = model.ray_field_fns(params, hist)
+    out = render_image(cfn, ffn, params, params,
                        h, w, focal / tinyscale, pose34, near, far, cfg,
                        window=window)
     rgb = model.apply_exposure(params, hist[None],
@@ -131,7 +132,8 @@ def _render_one_full(model: NeFeSModel, variables, pose34, hist, hwf: tuple,
                      window=None):
     H, W, focal = hwf
     params = variables["params"]
-    out = render_image(model.coarse_fn, model.fine_fn, params, params,
+    cfn, ffn = model.ray_field_fns(params, hist)
+    out = render_image(cfn, ffn, params, params,
                        H, W, focal, pose34, near, far, cfg,
                        block_rays=4096, window=window)
     rgb = model.apply_exposure(params, hist[None],

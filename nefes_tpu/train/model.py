@@ -125,6 +125,14 @@ class NeFeSModel:
     def fine_raw_fn(self, need_dw: bool = True, interpret: bool = False):
         return self._raw_fn("fine", need_dw, interpret)
 
+    def ray_field_fns(self, params, hist=None):
+        """(coarse_fn, fine_fn) for one image. The NFF field has no
+        per-image latent conditioning (exposure is a post-render rgb
+        transform), so the bound methods are returned as-is; the zoo
+        fields (train/field_zoo.py) override this to bind N_vocab
+        embedding-table latents per image."""
+        return self.coarse_fn, self.fine_fn
+
     def coarse_fn(self, params, xyz_emb, dir_emb=None, sigma_only=False,
                   output_transient=False):
         return self.coarse.apply({"params": params["coarse"]}, xyz_emb,

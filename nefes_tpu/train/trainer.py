@@ -53,6 +53,11 @@ class AuxConfig:
     sigma_sparsity: bool = False
     sigma_sparsity2: bool = False
     bound: float = 4.0              # world box half-side for the TV cube
+    # DPT mono-depth supervision (reference --depth, options.py:61; the
+    # loss math is losses.py:175-191 — its call site is dead code in the
+    # reference scripts, so the 0.1 weight is this framework's choice)
+    depth: bool = False
+    depth_w: float = 0.1
 
     @classmethod
     def from_options(cls, opts, far: float) -> "AuxConfig":
@@ -61,6 +66,7 @@ class AuxConfig:
                    l1normloss_w=opts.l1normloss_w,
                    sigma_sparsity=opts.sigma_sparsity_loss,
                    sigma_sparsity2=opts.sigma_sparsity_loss2,
+                   depth=opts.depth_loss,
                    bound=float(far))
 
     @property
@@ -78,9 +84,16 @@ def aux_regularizers(aux: "AuxConfig", model: NeFeSModel, params,
     current batch."""
     from nefes_tpu.fields.embedder import embed
     from nefes_tpu.train.aux_losses import (
-        sigma_sparsity_loss, sigma_sparsity_loss2, total_variation_loss,
+        embeddings_l1_loss, sigma_sparsity_loss, sigma_sparsity_loss2,
+        total_variation_loss,
     )
     loss = jnp.zeros(())
+    if aux.l1normloss:
+        # hash-grid table L1 (reference embeddings_L1_loss,
+        # losses.py:284-314); encoder_fns raises for non-hash fields —
+        # the CLI gates the flag on the field kind
+        enc_c, enc_f = model.encoder_fns(params)
+        loss = loss + aux.l1normloss_w * embeddings_l1_loss(enc_c, enc_f)
     if aux.tvloss:
         def density(x01, fn):
             xyz = (x01 * 2.0 - 1.0) * aux.bound
@@ -152,13 +165,16 @@ def _render_selected(model: NeFeSModel, params, poses, px, py, hists,
                      H, W, focal, near, far, rng, cfg: RenderConfig,
                      window=None):
     """Render rays at per-image pixel coords. px/py: (B, N). Returns the
-    train render dict with (B, N, ...) leaves."""
-    def one(pose, pxi, pyi, key):
+    train render dict with (B, N, ...) leaves. Per-image latent fields
+    (field_zoo) get their N_vocab-table latents bound from each image's
+    histogram here."""
+    def one(pose, pxi, pyi, hist, key):
         ro, rd = get_ray_at(pxi, pyi, focal, H, W, pose)
-        return render_rays(model.coarse_fn, model.fine_fn, params, params,
+        cfn, ffn = model.ray_field_fns(params, hist)
+        return render_rays(cfn, ffn, params, params,
                            ro, rd, near, far, key, cfg, window=window)
     keys = jax.random.split(rng, poses.shape[0])
-    return jax.vmap(one)(poses, px, py, keys)
+    return jax.vmap(one)(poses, px, py, hists, keys)
 
 
 def _finalize_rgb(model: NeFeSModel, params, out: dict, hists):
@@ -196,6 +212,8 @@ def train_step_rays(model: NeFeSModel, cfg: RenderConfig,
         lambda img, i: img.reshape(H * W, -1)[i])(imgs, idx)
     target_rgb = gather(batch["rgb"])
     target_feat = gather(batch["feat"]) if stage >= 1 else None
+    target_depth = (gather(batch["depth"][..., None])[..., 0]
+                    if aux.depth and "depth" in batch else None)
 
     def loss_fn(params):
         out = _render_selected(model, params, batch["poses"], px, py,
@@ -208,6 +226,11 @@ def train_step_rays(model: NeFeSModel, cfg: RenderConfig,
         if aux.any_on:
             loss = loss + aux_regularizers(aux, model, params, out,
                                            rng_aux, cfg)
+        if target_depth is not None:
+            from nefes_tpu.train.aux_losses import compute_depth_loss
+            loss_d = compute_depth_loss(out["depth"], target_depth)
+            loss = loss + aux.depth_w * loss_d
+            metrics["loss_depth"] = loss_d
         metrics["psnr"] = psnr(out["rgb"], target_rgb)
         return loss, metrics
 

