@@ -330,7 +330,7 @@ def bench_cli_serving() -> dict:
     args_common = [
         "--dataset_type", "7Scenes", "--pose_only", "2",
         "--df", "2", "--tinyscale", "4",
-        "--opt_iter", str(OPT_ITER), "--refine_batch", "4",
+        "--opt_iter", str(OPT_ITER), "--refine_batch", "1",
         "--apr_compute_dtype", "bfloat16", "--svd_reg", "true",
     ]
 

@@ -132,8 +132,12 @@ class Options:
     lr_r: float = 0.01
     lr_t: float = 0.1
     opt_iter: int = 50
-    refine_batch: int = 8   # frames refined per launch (1 = serial like
-    #                         the reference; vmapped scan otherwise)
+    # frames refined per launch (1 = serial like the reference; vmapped
+    # scan otherwise). Default 1: BENCH_r03 measured the B=4 vmapped
+    # mode-2 scan at 1.85 s/frame vs 1.37 single — the per-frame DFNet
+    # already fills the MXU, so batching only adds HBM pressure. Raise
+    # for small fields / mode 3, where vmap does amortise.
+    refine_batch: int = 1
     # APR compute dtype during refinement. The reference pins float32
     # (autocast decorator, DFM_pose_refine.py:131); bfloat16 runs the
     # VGG16 tower on the MXU's native type (weights stay f32)

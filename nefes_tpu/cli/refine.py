@@ -126,19 +126,27 @@ def main(argv=None):
     if opts.pose_only == 2:
         # precompute ALL target features batched up front (the reference
         # re-extracts per frame inside the loop, DFM_APR_refine.py:218).
-        # Targets/images live on HOST (full-res 128ch maps are ~39 MB/
-        # frame — thousands of test frames would blow 16 GB HBM); each
-        # refine_batch slice is transferred on demand.
+        # Residency: full-res 128-ch targets are ~39 MB/frame. Sets that
+        # fit comfortably stay ON DEVICE (they are computed there; the
+        # host round-trip + re-upload over the remote-TPU tunnel costs
+        # more than the refinement itself). Big sets (7-Scenes tests run
+        # to 5000 frames ≈ 195 GB) spill to host and stream back per
+        # slice, double-buffered.
         hists_dev = jnp.asarray(test.hists)
         # level 0 only — the reference's mode 2 always matches
         # feature_list[0][0] (DFM_APR_refine.py:222)
-        targets = np.empty((n, test.H, test.W, opts.feature_dim),
-                           np.float32)
+        target_bytes = n * test.H * test.W * opts.feature_dim * 4
+        on_device = target_bytes < 2 * 1024 ** 3
+        tlist = []
         for i in range(0, n, 8):
             f = extract_target_features(
                 dfnet, dfvars, jnp.asarray(test.images[i:i + 8]),
                 test.H, test.W)
-            targets[i:i + 8] = np.asarray(f)
+            tlist.append(f if on_device else np.asarray(f))
+        targets = (jnp.concatenate(tlist) if on_device
+                   else np.concatenate(tlist))
+        images_all = jnp.asarray(test.images) if on_device else test.images
+        del tlist
         masks_np = None
         if masks is not None:
             # loader masks live at render scale (H/tinyscale); the mode-2
@@ -163,8 +171,9 @@ def main(argv=None):
             async, so the NEXT slice's ~39 MB/frame of full-res targets
             stream over the tunnel while the CURRENT slice's refinement
             scan computes — without this the loop serialises transfer ->
-            compute -> readback every launch)."""
-            return (jax.device_put(test.images[sl]),
+            compute -> readback every launch). With on-device residency
+            these are zero-copy device slices."""
+            return (jax.device_put(images_all[sl]),
                     jax.device_put(targets[sl]),
                     None if masks_np is None
                     else jax.device_put(masks_np[sl]))

@@ -57,14 +57,54 @@ def _tri_lower_strict(S: int) -> jnp.ndarray:
     return (r > c).astype(jnp.float32)
 
 
-def _composite_pieces(sigma_flat, z, r_t, S):
+# --- layout folds. Mosaic cannot shape-cast between lane and sublane
+# dims ((T, 1) <-> (R_t, S)); these conversions go through the MXU with
+# tiny iota-built selector matrices instead (the comparison-matrix idiom
+# of nefes_tpu/ops) ---
+
+def _ray_selector(r_t: int, T: int, S: int) -> jnp.ndarray:
+    """(R_t, T) ones where col // S == row — A @ x sums each ray block."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (r_t, T), 0)
+    t = jax.lax.broadcasted_iota(jnp.int32, (r_t, T), 1)
+    return (t // S == r).astype(jnp.float32)
+
+
+def _pos_selector(T: int, S: int) -> jnp.ndarray:
+    """(T, S) ones where row % S == col."""
+    t = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)
+    s = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
+    return (t % S == s).astype(jnp.float32)
+
+
+def _fold(x_flat, A, B):
+    """(T, 1) -> (R_t, S): A @ (x * B)."""
+    return jnp.dot(A, x_flat * B, preferred_element_type=jnp.float32)
+
+
+def _unfold(x_rs, A, B):
+    """(R_t, S) -> (T, 1): row t gets x_rs[t // S, t % S]."""
+    full = jax.lax.dot_general(A, x_rs,
+                               dimension_numbers=(((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    return jnp.sum(full * B, axis=1, keepdims=True)
+
+
+def _per_ray_broadcast(g_ray, A):
+    """(R_t, C) -> (T, C): each ray's row repeated over its S samples."""
+    return jax.lax.dot_general(A, g_ray,
+                               dimension_numbers=(((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _composite_pieces(sigma_flat, z, A, B):
     """sigma (T, 1) f32 post-softplus, z (R_t, S) -> (alpha, trans, wgt,
     deltas), all (R_t, S) f32. Log-space transmittance: one MXU matmul
     replaces the serial cumprod."""
+    r_t, S = z.shape
     deltas = jnp.concatenate(
         [z[:, 1:] - z[:, :-1],
          jnp.full((r_t, 1), DELTA_INF, jnp.float32)], axis=1)
-    sig = sigma_flat.reshape(r_t, S)
+    sig = _fold(sigma_flat, A, B)
     alpha = 1.0 - jnp.exp(-deltas * sig)
     log1ma = jnp.log(jnp.maximum(1.0 - alpha, _LOG_EPS))
     log_t = jnp.dot(log1ma, _tri_upper_strict(S),
@@ -79,12 +119,15 @@ def _render_fwd_kernel(spec, S, names, refs):
     w = dict(zip(names, refs[3:3 + n_w]))
     out_ref = refs[3 + n_w]
     r_t = z.shape[0]
+    T = r_t * S
+    A, B = _ray_selector(r_t, T, S), _pos_selector(T, S)
 
     out, _ = _forward_tile(spec, "full", w, pts[:], dirs[:])
-    alpha, trans, wgt, _ = _composite_pieces(out["sigma"], z[:], r_t, S)
+    _, _, wgt, _ = _composite_pieces(out["sigma"], z[:], A, B)
 
-    wx = wgt.reshape(-1, 1) * out["rgbfeat"]          # (T, 131)
-    ray = jnp.sum(wx.reshape(r_t, S, -1), axis=1)     # (R_t, 131)
+    w_flat = _unfold(wgt, A, B)                       # (T, 1)
+    wx = w_flat * out["rgbfeat"]                      # (T, 131)
+    ray = jnp.dot(A, wx, preferred_element_type=jnp.float32)  # (R_t, 131)
     depth = jnp.sum(wgt * z[:], axis=1, keepdims=True)
     acc = jnp.sum(wgt, axis=1, keepdims=True)
     out_ref[:] = jnp.concatenate([ray, depth, acc], axis=1)
@@ -99,13 +142,17 @@ def _render_bwd_kernel(spec, S, names, refs):
     d_out = refs[3 + n_w]
     d_pts_ref, d_dirs_ref, d_z_ref = refs[4 + n_w:]
     r_t = z.shape[0]
+    T = r_t * S
     C = spec.rgbfeat
+    A, B = _ray_selector(r_t, T, S), _pos_selector(T, S)
 
     out, acts = _forward_tile(spec, "full", w, pts[:], dirs[:])
     sigma = out["sigma"]                               # (T, 1) f32
     rgbfeat = out["rgbfeat"]                           # (T, 131) f32
     zt = z[:]
-    alpha, trans, wgt, deltas = _composite_pieces(sigma, zt, r_t, S)
+    alpha, trans, wgt, deltas = _composite_pieces(sigma, zt, A, B)
+    sig_rs = _fold(sigma, A, B)
+    w_flat = _unfold(wgt, A, B)
 
     g = d_out[:]                                       # (R_t, 133)
     g_ray, g_depth, g_acc = g[:, :C], g[:, C:C + 1], g[:, C + 1:C + 2]
@@ -113,16 +160,15 @@ def _render_bwd_kernel(spec, S, names, refs):
     # d rgbfeat: broadcast each ray's cotangent over its S samples and
     # scale by the weights (features use the SAME weights but contribute
     # no weight-gradient — handled below)
-    g_rep = jnp.broadcast_to(g_ray.reshape(r_t, 1, C),
-                             (r_t, S, C)).reshape(-1, C)
-    d_rgbfeat = wgt.reshape(-1, 1) * g_rep             # (T, 131)
+    g_rep = _per_ray_broadcast(g_ray, A)               # (T, C)
+    d_rgbfeat = w_flat * g_rep                         # (T, 131)
 
     # d weights — STOP-GRAD rule: only the 3 rgb channels (plus
     # depth/acc) feed back into the weights; the 128 feature channels do
     # not (reference nerfh_nff.py:122-125)
     rgb_dot = jnp.sum(rgbfeat[:, :3] * g_rep[:, :3], axis=1,
                       keepdims=True)                   # (T, 1)
-    d_w = rgb_dot.reshape(r_t, S) + zt * g_depth + g_acc
+    d_w = _fold(rgb_dot, A, B) + zt * g_depth + g_acc
 
     # d alpha: w_i = alpha_i * T_i with T_i = exp(sum_{j<i} log(1-a_j))
     #   dL/da_i = d_w_i * T_i - (1/(1-a_i)) * sum_{k>i} d_w_k w_k
@@ -132,9 +178,9 @@ def _render_bwd_kernel(spec, S, names, refs):
     d_alpha = d_w * trans - suffix / jnp.maximum(1.0 - alpha, _LOG_EPS)
 
     # d sigma (post-softplus) and d deltas
-    exp_term = jnp.exp(-deltas * sigma.reshape(r_t, S))
-    d_sigma = (d_alpha * deltas * exp_term).reshape(-1, 1)
-    d_delta = d_alpha * sigma.reshape(r_t, S) * exp_term
+    exp_term = jnp.exp(-deltas * sig_rs)
+    d_sigma = _unfold(d_alpha * deltas * exp_term, A, B)
+    d_delta = d_alpha * sig_rs * exp_term
     # the last delta is the constant DELTA_INF tail -> no z gradient
     d_delta = jnp.concatenate(
         [d_delta[:, :-1], jnp.zeros((r_t, 1), jnp.float32)], axis=1)

@@ -62,9 +62,10 @@ def render_feature_image(model: NeFeSModel, variables, pose34: jnp.ndarray,
     params = variables["params"]
     if cfg.fused:
         packed_c, packed_f = model.pack_fused(params)
+        fine = (model.fine_render_raw_fn() if cfg.fused_render
+                else model.fine_raw_fn(need_dw=cfg.fused_need_dw))
         out = render_image(model.coarse_raw_fn(need_dw=cfg.fused_need_dw),
-                           model.fine_raw_fn(need_dw=cfg.fused_need_dw),
-                           packed_c, packed_f,
+                           fine, packed_c, packed_f,
                            h, w, focal, pose34, near, far, cfg)
     else:
         out = render_image(model.coarse_fn, model.fine_fn, params, params,

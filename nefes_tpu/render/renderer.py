@@ -49,6 +49,13 @@ class RenderConfig:
     # all weight-grad matmuls in the kernel VJP (frozen-field refinement).
     fused: bool = False
     fused_need_dw: bool = True
+    # Composite-fused fine pass (kernels/fused_render.py): the fine
+    # query AND the volume composite run in one Pallas kernel emitting
+    # per-RAY outputs (R x 133 instead of 128R x 131 to HBM). Only valid
+    # on the frozen-field test-time path without transient heads (the
+    # refinement render); requires fused=True (packed weights) and
+    # fine_fn built from the same FieldSpec.
+    fused_render: bool = False
     # rematerialize field activations in the backward pass. True for
     # training (big ray batches would spill HBM); False for the
     # refinement renders (60x80 rays -> activations fit comfortably, and
@@ -144,6 +151,18 @@ def render_rays(coarse_fn: FieldFn, fine_fn: FieldFn | None,
                                     cfg.n_importance, det=not cfg.perturb,
                                     combine=not cfg.use_fine_only)
     pts_f = rays_o[..., None, :] + rays_d[..., None, :] * z_vals_f[..., None]
+
+    if cfg.fused and cfg.fused_render:
+        # composite-fused fine pass: fine_fn is a render fn
+        # (packed, pts (R,S,3), viewdirs (R,3), z (R,S)) -> per-ray dict
+        # (kernels/fused_render.py) — valid only on the frozen-field
+        # test-time path without transient heads
+        assert cfg.test_time and not cfg.output_transient, \
+            "fused_render covers the refinement render only"
+        out_f = fine_fn(fine_params, pts_f, viewdirs, z_vals_f)
+        return {"rgb": out_f["rgb"], "feat": out_f["feat"],
+                "disp": out_f["disp"], "acc": out_f["acc"],
+                "depth": out_f["depth"]}
 
     raw_f = query(fine_fn, fine_params, pts_f, viewdirs, cfg, False,
                   cfg.output_transient, window)

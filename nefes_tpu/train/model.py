@@ -119,6 +119,19 @@ class NeFeSModel:
                                      need_dw=need_dw, interpret=interpret)
         return fn
 
+    def fine_render_raw_fn(self, interpret: bool = False):
+        """Composite-fused fine render fn (kernels/fused_render.py):
+        (packed, pts (R,S,3), viewdirs (R,3), z (R,S)) -> per-ray dict.
+        Used by render_rays when cfg.fused_render (frozen-field
+        refinement renders)."""
+        from nefes_tpu.kernels.fused_render import fused_render_apply
+        spec = self.fused_spec("fine")
+
+        def fn(packed, pts, viewdirs, z):
+            return fused_render_apply(spec, packed, pts, viewdirs, z,
+                                      interpret=interpret)
+        return fn
+
     def coarse_raw_fn(self, need_dw: bool = True, interpret: bool = False):
         return self._raw_fn("coarse", need_dw, interpret)
 

@@ -126,3 +126,51 @@ def test_stop_gradient_feature_rule(setup):
     # through pts (= o + d*z), never through the weights
     np.testing.assert_allclose(np.asarray(dz_k), np.asarray(dz_ref),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_render_rays_fused_render_path():
+    """render_rays with cfg.fused_render: the composite-fused fine pass
+    slots into the full renderer (coarse sigma kernel -> PDF sampling ->
+    fused fine+composite) and matches the unfused pipeline end-to-end,
+    including the pose-translation gradient (the refinement grad path)."""
+    from nefes_tpu.render.renderer import render_rays
+
+    cfg_m = ModelConfig.tiny()
+    model = NeFeSModel(cfg_m)
+    params = model.init_variables(jax.random.key(0))["params"]
+    pc, pf = model.pack_fused(params)
+    k = jax.random.key(1)
+    rays_o = jax.random.normal(k, (12, 3)) * 0.1
+    rays_d = jax.random.normal(jax.random.key(2), (12, 3))
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    cfg = cfg_m.render_config(n_samples=8, n_importance=8, perturb=False,
+                              test_time=True, output_transient=False)
+
+    def unfused(o):
+        return render_rays(model.coarse_fn, model.fine_fn, params, params,
+                           o, rays_d, 0.1, 4.0, None, cfg)
+
+    fcfg = cfg.__class__(**{**cfg.__dict__, "fused": True,
+                            "fused_need_dw": False, "fused_render": True})
+
+    def fused(o):
+        return render_rays(
+            model.coarse_raw_fn(need_dw=False, interpret=True),
+            model.fine_render_raw_fn(interpret=True),
+            pc, pf, o, rays_d, 0.1, 4.0, None, fcfg)
+
+    out, fout = unfused(rays_o), fused(rays_o)
+    for key in ("rgb", "feat", "disp", "acc", "depth"):
+        np.testing.assert_allclose(np.asarray(fout[key]),
+                                   np.asarray(out[key]),
+                                   rtol=2e-4, atol=2e-5, err_msg=key)
+
+    loss_u = lambda o: jnp.sum(unfused(o)["feat"] ** 2) \
+        + jnp.sum(unfused(o)["rgb"] ** 2)
+    loss_f = lambda o: jnp.sum(fused(o)["feat"] ** 2) \
+        + jnp.sum(fused(o)["rgb"] ** 2)
+    gu = np.asarray(jax.grad(loss_u)(rays_o))
+    gf = np.asarray(jax.grad(loss_f)(rays_o))
+    scale = max(np.abs(gu).max(), 1e-3)
+    np.testing.assert_allclose(gf / scale, gu / scale, rtol=3e-3,
+                               atol=1e-3)
