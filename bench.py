@@ -186,6 +186,38 @@ def main():
     dt3c, fl3c, _ = mode3("cambridge")
     extra["mode3_cambridge_s_per_frame"] = round(dt3c, 4)
 
+    # ---- mode 3 with the Pallas fused refinement render (coarse sigma
+    # kernel + composite-fused fine pass, kernels/fused_render.py) ----
+    try:
+        from dataclasses import replace as dc_replace
+        rcfg_render_fused = dc_replace(rcfg_render, fused=True,
+                                       fused_need_dw=False,
+                                       fused_render=True)
+        H, W, _, _, FOCAL = GEOMS["7scenes"]
+        hwf = (H, W, FOCAL)
+        _, targetf = render_feature_image(model, variables, pose, hist,
+                                          hwf, NEAR, FAR, rcfg_render)
+        targetf = jax.lax.stop_gradient(targetf)
+
+        def run3f(p):
+            return refine_pose_single(model, variables, p, targetf, hist,
+                                      ws_vec, hwf, NEAR, FAR,
+                                      rcfg_render_fused, rcfg)
+        for w in range(2):
+            _, lf = run3f(pose + 1e-5 * w)
+            float(lf[-1])
+        t0 = time.perf_counter()
+        for i in range(FRAMES_TO_TIME):
+            _, lf = run3f(pose + 1e-4 * (i + 1))
+            float(lf[-1])
+        extra["mode3_fused_render_s_per_frame"] = round(
+            (time.perf_counter() - t0) / FRAMES_TO_TIME, 4)
+        extra["final_loss_mode3_fused"] = float(np.asarray(lf)[-1])
+        del targetf
+    except Exception as e:
+        print(f"[bench] fused-render mode-3 failed: {e}")
+        extra["mode3_fused_render_s_per_frame"] = None
+
     # ---------------- mode 2 (the paper headline) -----------
     m2 = mode2("7scenes", dtypes=("f32", "bf16"))
     extra["mode2_apr_s_per_frame_f32"] = round(m2["f32"][0], 4)
