@@ -162,6 +162,16 @@ def cmd_kernel(args):
         False, False))
     kern = jax.jit(lambda w, x, d: fused_field_apply(
         spec, w, x, d, sigma_only=False, output_transient=False))
+    # timed variants reduce to ONE scalar on device — fetching the raw
+    # (614k, 131) outputs over the axon tunnel costs seconds and would
+    # measure transfer, not compute
+    red = lambda o: sum(jnp.sum(x.astype(jnp.float32))
+                        for x in jax.tree.leaves(o))
+    flax16_t = jax.jit(lambda p, x, d: red(m16.fine_fn(
+        p, embed(x, cfg16.xyz_embed), embed(d, cfg16.dir_embed),
+        False, False)))
+    kern_t = jax.jit(lambda w, x, d: red(fused_field_apply(
+        spec, w, x, d, sigma_only=False, output_transient=False)))
 
     # --- three-way parity: kernel-bf16 must sit within the flax-bf16
     # band around the f32 oracle ---
@@ -177,9 +187,9 @@ def cmd_kernel(args):
 
     results = {}
     results["flax_fwd_ms"] = timeit(
-        "flax bf16 fwd", lambda: flax16(params, pts, dirs)) * 1e3
+        "flax bf16 fwd", lambda: flax16_t(params, pts, dirs)) * 1e3
     results["kern_fwd_ms"] = timeit(
-        "kernel fwd", lambda: kern(weights, pts, dirs)) * 1e3
+        "kernel fwd", lambda: kern_t(weights, pts, dirs)) * 1e3
 
     def loss_flax(p, x, d):
         o = flax16(p, x, d)
@@ -191,8 +201,10 @@ def cmd_kernel(args):
         return (jnp.sum(o["static_rgb"]) + jnp.sum(o["static_sigma"])
                 + 1e-3 * jnp.sum(o["static_feat"]))
 
-    gf = jax.jit(jax.grad(loss_flax, argnums=(1,)))
-    gk = jax.jit(jax.grad(loss_kern, argnums=(1,)))
+    gf = jax.jit(lambda p, x, d: red(
+        jax.grad(loss_flax, argnums=(1,))(p, x, d)))
+    gk = jax.jit(lambda w, x, d: red(
+        jax.grad(loss_kern, argnums=(1,))(w, x, d)))
     results["flax_fwdbwd_ms"] = timeit(
         "flax bf16 fwd+bwd(dx)", lambda: gf(params, pts, dirs)) * 1e3
     results["kern_fwdbwd_ms"] = timeit(
@@ -244,8 +256,10 @@ def cmd_kernel(args):
         o = fused_render_apply(spec, weights, p3, vd, zz)
         return jnp.sum(o["rgb"]) + 1e-3 * jnp.sum(o["feat"])
 
-    guf = jax.jit(jax.grad(loss_uf, argnums=(0, 2)))
-    gfr = jax.jit(jax.grad(loss_fr, argnums=(0, 2)))
+    guf = jax.jit(lambda p3, vd, zz: red(
+        jax.grad(loss_uf, argnums=(0, 2))(p3, vd, zz)))
+    gfr = jax.jit(lambda p3, vd, zz: red(
+        jax.grad(loss_fr, argnums=(0, 2))(p3, vd, zz)))
     results["unfused_fine_composite_fwdbwd_ms"] = timeit(
         "unfused fine+composite fwd+bwd",
         lambda: guf(pts3, viewdirs, z)) * 1e3
@@ -333,11 +347,19 @@ def cmd_accuracy(args):
     )
     import optax
 
+    import pickle
+
     t_start = time.time()
     HH, WW = args.image_h, args.image_w            # >=128x96 (VERDICT)
     TINY = 4
     h, w = HH // TINY, WW // TINY
     N_TRAIN, N_TEST = args.n_train, 8
+    cache = args.cache
+    cached = None
+    if cache and os.path.exists(cache):
+        with open(cache, "rb") as f:
+            cached = pickle.load(f)
+        print(f"loaded trained state from {cache}", flush=True)
 
     scene = make_synthetic_scene(n_views=N_TRAIN + N_TEST, H=HH, W=WW,
                                  focal=1.15 * WW)
@@ -371,39 +393,53 @@ def cmd_accuracy(args):
     # ---- 3-stage NeFeS training (the run_nefes.py schedule) ----
     B = 4
     rng = jax.random.key(2)
-    order = np.random.default_rng(0)
-    stage_epochs = ((0, args.epochs_color), (1, args.epochs_feat),
-                    (2, args.epochs_fusion))
-    ep_global = 0
-    for stage, n_ep in stage_epochs:
-        for _ in range(n_ep):
-            lr = jnp.asarray(lr_for_epoch(ep_global, 5e-4, 0.5))
-            perm = order.permutation(train_idx)
-            for i in range(0, N_TRAIN - B + 1, B):
-                sel = perm[i:i + B]
-                batch = {"rgb": jnp.asarray(imgs_small[sel]),
-                         "poses": jnp.asarray(scene.poses[sel]),
-                         "hists": jnp.asarray(scene.hists[sel])}
-                if stage >= 1:
-                    batch["feat"] = jnp.asarray(feats[sel])
-                rng, k = jax.random.split(rng)
-                if stage == 2:
-                    state, loss, aux = train_step_patch(
-                        model, rcfg, tx, state, batch, k, lr, hwf,
-                        scene.near, scene.far)
-                else:
-                    state, loss, aux = train_step_rays(
-                        model, rcfg, tx, state, batch, k, lr, hwf,
-                        scene.near, scene.far,
-                        n_rand=min(1024, h * w), stage=stage)
-            if ep_global % 25 == 0:
-                parts = " ".join(f"{k}={float(v):.4f}"
-                                 for k, v in aux.items() if k != "psnr")
-                print(f"epoch {ep_global} stage={stage} "
-                      f"loss={float(loss):.4f} "
-                      f"psnr={float(aux['psnr']):.2f} {parts}", flush=True)
-            ep_global += 1
-    train_psnr = float(aux["psnr"])
+    if cached is None:
+        order = np.random.default_rng(0)
+        stage_epochs = ((0, args.epochs_color), (1, args.epochs_feat),
+                        (2, args.epochs_fusion))
+        ep_global = 0
+        for stage, n_ep in stage_epochs:
+            for _ in range(n_ep):
+                lr = jnp.asarray(lr_for_epoch(ep_global, 5e-4, 0.5))
+                perm = order.permutation(train_idx)
+                for i in range(0, N_TRAIN - B + 1, B):
+                    sel = perm[i:i + B]
+                    batch = {"rgb": jnp.asarray(imgs_small[sel]),
+                             "poses": jnp.asarray(scene.poses[sel]),
+                             "hists": jnp.asarray(scene.hists[sel])}
+                    if stage >= 1:
+                        batch["feat"] = jnp.asarray(feats[sel])
+                    rng, k = jax.random.split(rng)
+                    if stage == 2:
+                        state, loss, aux = train_step_patch(
+                            model, rcfg, tx, state, batch, k, lr, hwf,
+                            scene.near, scene.far)
+                    else:
+                        state, loss, aux = train_step_rays(
+                            model, rcfg, tx, state, batch, k, lr, hwf,
+                            scene.near, scene.far,
+                            n_rand=min(1024, h * w), stage=stage)
+                if ep_global % 25 == 0:
+                    parts = " ".join(f"{k}={float(v):.4f}"
+                                     for k, v in aux.items()
+                                     if k != "psnr")
+                    print(f"epoch {ep_global} stage={stage} "
+                          f"loss={float(loss):.4f} "
+                          f"psnr={float(aux['psnr']):.2f} {parts}",
+                          flush=True)
+                ep_global += 1
+        train_psnr = float(aux["psnr"])
+        if cache:
+            with open(cache, "wb") as f:
+                pickle.dump(
+                    {"variables": jax.tree.map(np.asarray,
+                                               state.variables),
+                     "train_psnr": train_psnr}, f)
+            print(f"saved trained field to {cache}", flush=True)
+    else:
+        state = state.replace(variables=jax.tree.map(
+            jnp.asarray, cached["variables"]))
+        train_psnr = cached["train_psnr"]
 
     # ---- fusion-vs-no-fusion feature quality on TEST views ----
     tcfg = rcfg.test()
@@ -423,12 +459,89 @@ def cmd_accuracy(args):
         cos_raw.append(float(feature_cosine_loss(raw, tgt,
                                                  per_pixel=True)))
 
+    # ---- DFM feature finetuning (the reference's DFNet recipe: the
+    # feature space is TRAINED so renders and real images match —
+    # feature/misc.py render_nerfw_imgs + triplet/cosine losses over
+    # rendered views). Only the adaptation blocks train (adapt_*), so
+    # the VGG trunk and hence the pose head stay untouched; negatives
+    # (features vs OTHER views' renders) keep the space discriminative
+    # instead of collapsing onto the matching objective. ----
+    if args.feat_steps > 0:
+        from nefes_tpu.geometry.se3 import learn_pose
+        from nefes_tpu.refine.losses import feature_cosine_loss as fcl
+        from nefes_tpu.utils.image import resize_bicubic as _rb
+
+        def render_up_at(pose34, hist):
+            _, fused = render_feature_image(
+                model, state.variables, jnp.asarray(pose34),
+                jnp.asarray(hist), hwf, scene.near, scene.far, tcfg)
+            return np.asarray(_rb(fused[None], HH, WW)[0])
+
+        # positives: renders at the GT poses. negatives: renders at
+        # POSE-PERTURBED views at the APR error scale (~5 cm / 2 deg) —
+        # the feature space must distinguish the query view from nearby
+        # wrong poses (a local basin), not from other scene views
+        # (reference pose_perturbation, feature/misc.py:594-677)
+        rng_np = np.random.default_rng(7)
+        renders_up, renders_neg = [], []
+        for i in train_idx:
+            renders_up.append(render_up_at(scene.poses[i],
+                                           scene.hists[i]))
+            dr = rng_np.normal(0, np.deg2rad(2.0) / 1.7, 3)
+            dt = rng_np.normal(0, 0.05 / 1.7, 3)
+            pert = np.asarray(learn_pose(
+                jnp.asarray(dr, jnp.float32), jnp.asarray(dt, jnp.float32),
+                jnp.asarray(scene.poses[i])))[:3, :4]
+            renders_neg.append(render_up_at(pert, scene.hists[i]))
+        renders_up = jnp.asarray(np.stack(renders_up))   # (Nt, HH, WW, C)
+        renders_neg = jnp.asarray(np.stack(renders_neg))
+        imgs_full_tr = jnp.asarray(scene.images[train_idx])
+
+        adapt_keys = [k for k in dfvars["params"] if k.startswith("adapt")]
+        ft_tx = optax.adam(args.feat_lr)
+        ft_params = {k: dfvars["params"][k] for k in adapt_keys}
+        ft_opt = ft_tx.init(ft_params)
+        frozen = {k: v for k, v in dfvars["params"].items()
+                  if k not in adapt_keys}
+
+        # big arrays MUST be jit arguments, not closure captures —
+        # captured constants are baked into the compile payload and the
+        # remote-compile relay rejects >~100 MB requests (HTTP 413)
+        @jax.jit
+        def ft_step(ft_params, ft_opt, frozen, bstats, imgs_b, r_pos,
+                    r_neg):
+            def lf(fp):
+                v = {"params": {**frozen, **fp}, "batch_stats": bstats}
+                f = extract_target_features(dfnet, v, imgs_b, HH, WW)
+                pos = jax.vmap(fcl)(f, r_pos).mean()
+                neg = jax.vmap(fcl)(f, r_neg).mean()
+                return pos + jnp.maximum(0.0, 0.3 + pos - neg)
+            l, g = jax.value_and_grad(lf)(ft_params)
+            up, ft_opt = ft_tx.update(g, ft_opt, ft_params)
+            return optax.apply_updates(ft_params, up), ft_opt, l
+
+        n_tr = len(train_idx)
+        for step in range(args.feat_steps):
+            rng, k1 = jax.random.split(rng)
+            sel = jax.random.randint(k1, (4,), 0, n_tr)
+            ft_params, ft_opt, ft_l = ft_step(
+                ft_params, ft_opt, frozen, dfvars["batch_stats"],
+                imgs_full_tr[sel], renders_up[sel], renders_neg[sel])
+            if step % 50 == 0:
+                print(f"feat-ft step {step} loss={float(ft_l):.4f}",
+                      flush=True)
+        dfvars = {"params": {**frozen, **ft_params},
+                  "batch_stats": dfvars["batch_stats"]}
+
     # ---- DFNet APR trained on the train split ----
     apr = DFNet(output_dim=cfg.feature_dim, dtype=jnp.bfloat16)
     apr_vars = apr.init(jax.random.key(3), jnp.zeros((1, HH, WW, 3)),
                         upsample_hw=(HH, WW))
-    apr_tx = optax.adam(optax.cosine_decay_schedule(
-        args.apr_lr, args.apr_steps, alpha=0.02))
+    # AdamW + photometric augmentation: without them the APR overfits the
+    # train split to ~1e-5 loss — a razor-sharp minimum whose pose output
+    # is chaotic under the small weight steps mode-2 refinement applies
+    apr_tx = optax.adamw(optax.cosine_decay_schedule(
+        args.apr_lr, args.apr_steps, alpha=0.02), weight_decay=1e-4)
     apr_opt = apr_tx.init(apr_vars["params"])
     gt12 = jnp.asarray(scene.poses.reshape(-1, 12))
     imgs_full = jnp.asarray(scene.images)
@@ -437,7 +550,15 @@ def cmd_accuracy(args):
     def apr_step(p, opt, sel, key):
         def lf(p):
             v = {"params": p, "batch_stats": apr_vars["batch_stats"]}
-            _, pose12 = apr.apply(v, imgs_full[sel], return_feature=False,
+            kb, kn = jax.random.split(key)
+            # brightness/noise jitter (the reference trains its APRs with
+            # ColorJitter, dataset_loaders/cambridge_scenes.py:263-264)
+            scale = jax.random.uniform(kb, (sel.shape[0], 1, 1, 1),
+                                       minval=0.92, maxval=1.08)
+            imgs = jnp.clip(imgs_full[sel] * scale
+                            + 0.005 * jax.random.normal(
+                                kn, imgs_full[sel].shape), 0.0, 1.0)
+            _, pose12 = apr.apply(v, imgs, return_feature=False,
                                   return_pose=True)
             return jnp.mean((pose12 - gt12[sel]) ** 2)
         l, g = jax.value_and_grad(lf)(p)
@@ -515,8 +636,9 @@ def cmd_accuracy(args):
         n_samples=64, n_importance=64, output_transient=False,
         perturb=False).test()
 
-    def run_refine(lr):
-        rfc = RefineConfig(opt_iter=args.opt_iter, learning_rate=lr)
+    def run_refine(lr, iters, per_pixel=False):
+        rfc = RefineConfig(opt_iter=iters, learning_rate=lr,
+                           per_pixel=per_pixel)
         out = refine_apr_batch(model_r, state.variables, apr_r, apr_vars,
                                test_imgs, targets, test_hists, ws_vec,
                                hwf, full_hwf, scene.near, scene.far,
@@ -526,16 +648,25 @@ def cmd_accuracy(args):
         init_poses = np.asarray(out["initial_pose"])
         e_init = pose_errors(init_poses, gt)
         e_ver = pose_errors(verified, gt)
-        return {"lr": lr,
+        return {"lr": lr, "iters": iters, "per_pixel": per_pixel,
                 "out": out, "verified": verified, "refined": refined,
                 "init_poses": init_poses, "err_init": e_init,
                 "err_ver": e_ver,
-                "median_t": float(np.median(e_ver[:, 0]))}
+                "median_t": float(np.median(e_ver[:, 0])),
+                "median_r": float(np.median(e_ver[:, 1]))}
 
-    runs = [run_refine(lr) for lr in args.refine_lrs]
+    configs = [(lr, args.opt_iter, False) for lr in args.refine_lrs]
+    if args.sweep_refine:
+        configs += [(2e-6, 150, False),
+                    (1e-5, 50, True), (7e-6, 50, True), (5e-6, 50, True),
+                    (5e-6, 100, True), (3e-6, 100, True)]
+    runs = [run_refine(*c) for c in configs]
     for r in runs:
-        print(f"refine lr={r['lr']}: median_t {r['median_t']:.4f} "
-              f"(init {np.median(r['err_init'][:, 0]):.4f})", flush=True)
+        print(f"refine lr={r['lr']} iters={r['iters']} "
+              f"pp={r['per_pixel']}: median {r['median_t']:.4f} m / "
+              f"{r['median_r']:.3f} deg "
+              f"(init {np.median(r['err_init'][:, 0]):.4f} m / "
+              f"{np.median(r['err_init'][:, 1]):.3f} deg)", flush=True)
     best = min(runs, key=lambda r: r["median_t"])
     out, verified = best["out"], best["verified"]
     refined, init_poses = best["refined"], best["init_poses"]
@@ -546,7 +677,8 @@ def cmd_accuracy(args):
     result = {
         "pipeline": "3-stage train -> DFNet APR -> mode-2 + verification",
         "image_hw": [HH, WW], "field": "D8/W128/F128 bf16",
-        "opt_iter": args.opt_iter, "frames": int(N_TEST),
+        "opt_iter": best["iters"], "frames": int(N_TEST),
+        "per_pixel_dfm": best["per_pixel"],
         "train_psnr_db": round(train_psnr, 2),
         "refine_lr": best["lr"],
         "feat_cos_loss_fused_renderscale": round(float(np.mean(cos_fused)),
@@ -607,6 +739,12 @@ def main():
     pa.add_argument("--refine_lrs", type=float, nargs="+",
                     default=[1e-5, 5e-6, 2e-6])
     pa.add_argument("--opt_iter", type=int, default=50)
+    pa.add_argument("--sweep_refine", action="store_true")
+    pa.add_argument("--feat_steps", type=int, default=300)
+    pa.add_argument("--feat_lr", type=float, default=1e-4)
+    pa.add_argument("--cache", default="",
+                    help="pickle path to save/reuse the trained field+APR"
+                         " (skips the ~15 min training when it exists)")
     pa.add_argument("--out", default="ACCURACY_r03.json")
     args = p.parse_args()
     {"perf": cmd_perf, "kernel": cmd_kernel, "mode2": cmd_mode2,
