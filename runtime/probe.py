@@ -660,6 +660,8 @@ def cmd_accuracy(args):
         configs += [(2e-6, 150, False),
                     (1e-5, 50, True), (7e-6, 50, True), (5e-6, 50, True),
                     (5e-6, 100, True), (3e-6, 100, True)]
+    if args.sweep_small:
+        configs = [(1e-5, 50, True), (5e-6, 50, True), (2e-6, 150, False)]
     runs = [run_refine(*c) for c in configs]
     for r in runs:
         print(f"refine lr={r['lr']} iters={r['iters']} "
@@ -676,7 +678,8 @@ def cmd_accuracy(args):
 
     result = {
         "pipeline": "3-stage train -> DFNet APR -> mode-2 + verification",
-        "image_hw": [HH, WW], "field": "D8/W128/F128 bf16",
+        "image_hw": [HH, WW], "n_train_views": int(N_TRAIN),
+        "field": "D8/W128/F128 bf16",
         "opt_iter": best["iters"], "frames": int(N_TEST),
         "per_pixel_dfm": best["per_pixel"],
         "train_psnr_db": round(train_psnr, 2),
@@ -740,6 +743,7 @@ def main():
                     default=[1e-5, 5e-6, 2e-6])
     pa.add_argument("--opt_iter", type=int, default=50)
     pa.add_argument("--sweep_refine", action="store_true")
+    pa.add_argument("--sweep_small", action="store_true")
     pa.add_argument("--feat_steps", type=int, default=300)
     pa.add_argument("--feat_lr", type=float, default=1e-4)
     pa.add_argument("--cache", default="",
