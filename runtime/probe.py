@@ -661,7 +661,9 @@ def cmd_accuracy(args):
                     (1e-5, 50, True), (7e-6, 50, True), (5e-6, 50, True),
                     (5e-6, 100, True), (3e-6, 100, True)]
     if args.sweep_small:
-        configs = [(1e-5, 50, True), (5e-6, 50, True), (2e-6, 150, False)]
+        # per-pixel DFM at the given lrs (the measured-best family)
+        configs = [(lr, args.opt_iter, True) for lr in args.refine_lrs] \
+            + [(2e-6, 150, False)]
     runs = [run_refine(*c) for c in configs]
     for r in runs:
         print(f"refine lr={r['lr']} iters={r['iters']} "
