@@ -192,3 +192,33 @@ def test_cli_rejects_feature_losses_for_zoo_fields(fx):
     with pytest.raises(ValueError, match="feature"):
         main(_args(paths, root, expname="bad", tcnn=True,
                    color_feat_loss=True))
+
+
+def test_validation_render_with_latent_field():
+    """render_path drives the latent-conditioned zoo fields through the
+    validation renderer (ray_field_fns binds each view's histogram
+    latents inside the jitted per-pose render)."""
+    from nefes_tpu.render.validation import render_path
+
+    cfg = tiny_cfg("nerfw")
+    model = ZooFieldModel(cfg)
+    variables = model.init_variables(jax.random.key(0))
+    rcfg = cfg.render_config(n_samples=4, n_importance=4,
+                             perturb=False).test()
+    pose = np.concatenate([np.eye(3), [[0.], [0.], [1.5]]], axis=1)
+    poses = np.stack([pose, pose]).astype(np.float32)
+    hists = np.asarray(
+        np.random.default_rng(0).integers(0, 100, (2, 4)), np.float32)
+    gt = np.random.default_rng(1).uniform(size=(2, 16, 16, 3)) \
+        .astype(np.float32)
+    out = render_path(model, variables, poses, hists, (16, 16, 12.0),
+                      0.3, 3.0, rcfg, gt_images=gt)
+    assert np.isfinite(out["psnr"])
+    assert out["frames_rgb"].shape == (2, 16, 16, 3)
+    # different histograms must produce different renders (the latents
+    # actually condition the field)
+    h2 = hists.copy()
+    h2[1] = (h2[1] + 37) % 100
+    out2 = render_path(model, variables, poses, h2, (16, 16, 12.0),
+                       0.3, 3.0, rcfg, gt_images=gt)
+    assert not np.allclose(out["frames_rgb"][1], out2["frames_rgb"][1])
