@@ -678,6 +678,28 @@ def cmd_accuracy(args):
     err_ref = pose_errors(refined, gt)
     retreats = int(np.sum(np.any(verified != refined, axis=(1, 2))))
 
+    # ---- mode-3 (SE(3)-delta) evidence on the same field/frames (the
+    # r02 harness's mode, kept regenerable after the probe consolidation;
+    # reference DFM_post_processing2, DFM_pose_refine.py:350-452) ----
+    from nefes_tpu.refine import refine_poses_batch
+    targets_rs = jax.lax.stop_gradient(extract_target_features(
+        dfnet, dfvars, test_imgs, h, w))
+    m3_out, _ = refine_poses_batch(
+        model_r, state.variables, jnp.asarray(np.stack(apr_poses0)),
+        targets_rs, test_hists, scene.world, hwf, tcfg_r,
+        RefineConfig(opt_iter=args.opt_iter, lr_r=0.004, lr_t=0.01,
+                     per_pixel=best["per_pixel"]))
+    err_m3 = pose_errors(np.asarray(m3_out), gt)
+    mode3 = {
+        "mode3_median_t_after_m": float(np.median(err_m3[:, 0])),
+        "mode3_median_r_after_deg": float(np.median(err_m3[:, 1])),
+        "mode3_improved_frames_frac": float(np.mean(
+            err_m3[:, 0] < np.array([pose_errors(
+                apr_poses0[i][None], gt[i:i + 1])[0, 0]
+                for i in range(N_TEST)]))),
+    }
+    print("mode-3:", json.dumps(mode3), flush=True)
+
     result = {
         "pipeline": "3-stage train -> DFNet APR -> mode-2 + verification",
         "image_hw": [HH, WW], "n_train_views": int(N_TRAIN),
@@ -707,6 +729,7 @@ def cmd_accuracy(args):
             err_ver[:, 0] > err_init[:, 0] + 1e-9)),
         "improved_frames_frac": float(np.mean(
             err_ver[:, 0] < err_init[:, 0])),
+        **mode3,
         **landscape,
         "wall_s": round(time.time() - t_start, 1),
         "device": str(jax.devices()[0]),
