@@ -55,6 +55,13 @@ OPT_ITER = 50
 FRAMES_TO_TIME = 3
 NEAR, FAR = 0.0, 4.0
 
+# NEFES_BENCH_SMOKE=1: tiny iteration counts + skip the CLI leg — a
+# minutes-scale end-to-end validation of this script after edits (the
+# real numbers still come from the full run; compiles dominate either way)
+SMOKE = os.environ.get("NEFES_BENCH_SMOKE", "") == "1"
+if SMOKE:
+    OPT_ITER, FRAMES_TO_TIME = 2, 1
+
 # geometry envelopes (BASELINE.md): (render_h, render_w, full_h, full_w,
 # focal/df/tinyscale)
 GEOMS = {
@@ -228,9 +235,11 @@ def main():
     extra["mode2_cambridge_s_per_frame_bf16"] = round(m2c["bf16"][0], 4)
     extra["final_loss_mode2_cambridge"] = m2c["bf16"][2]
 
-    # ---------------- mode 2 BATCHED (the serving configuration) ---------
-    # vmap over B frames fills the MXU with B x the per-iteration sample
-    # count — the amortised s/frame the CLI's refine_batch path ships
+    # ---------------- mode 2 BATCHED (measured pessimization) ------------
+    # vmapping B frames carries B copies of the VGG16 params + Adam state;
+    # measured 1.85 s/frame at B=4 vs 1.38 serial (BENCH_r03) — kept as a
+    # regression guard for that finding. The shipped serving config is
+    # serial-with-prefetch (refine_batch=1, cli/refine.py).
     def mode2_batched(geom_key, B=4):
         from nefes_tpu.refine import refine_apr_batch
         H, W, FULL_H, FULL_W, FOCAL = GEOMS[geom_key]
@@ -265,6 +274,43 @@ def main():
         print(f"[bench] batched mode-2 failed: {e}")
         extra["mode2_batched4_s_per_frame"] = None
 
+    # ---------------- mode 3 BATCHED (genuine amortization) --------------
+    # mode 3's per-frame state is just (r, t) + Adam moments — vmapping
+    # frames adds MXU work without the mode-2 param-copy traffic, so
+    # batching SHOULD win here; measured per-frame number on record
+    def mode3_batched(geom_key, B=4):
+        from nefes_tpu.refine import refine_poses_batch
+        from nefes_tpu.geometry.transforms import WorldSetup
+        H, W, _, _, FOCAL = GEOMS[geom_key]
+        hwf = (H, W, FOCAL)
+        _, t1 = render_feature_image(model, variables, pose, hist, hwf,
+                                     NEAR, FAR, rcfg_render)
+        tgts = jax.lax.stop_gradient(jnp.broadcast_to(
+            t1, (B,) + t1.shape))
+        poses0 = jnp.stack([pose.at[:, 3].add(0.01 * i) for i in range(B)])
+        hists = jnp.zeros((B, 10))
+        ws = WorldSetup(near=NEAR, far=FAR, pose_scale=1.0, pose_scale2=1.0,
+                        move_all_cam_vec=(0.0, 0.0, 0.0))
+
+        def run(ps):
+            return refine_poses_batch(model, variables, ps, tgts, hists,
+                                      ws, hwf, rcfg_render, rcfg)
+        for w in range(2):
+            _, ls = run(poses0 + 1e-5 * w)
+            float(ls[-1, -1])
+        t0 = time.perf_counter()
+        for i in range(FRAMES_TO_TIME):
+            _, ls = run(poses0 + 1e-4 * (i + 1))
+            float(ls[-1, -1])
+        return (time.perf_counter() - t0) / FRAMES_TO_TIME / B
+
+    try:
+        extra["mode3_batched4_s_per_frame"] = round(
+            mode3_batched("7scenes", B=4), 4)
+    except Exception as e:
+        print(f"[bench] batched mode-3 failed: {e}")
+        extra["mode3_batched4_s_per_frame"] = None
+
     # ---------------- FLOPs / MFU / derived baselines -----------
     def perf_fields(prefix, dt, fl):
         if fl <= 0 or dt <= 0:
@@ -283,8 +329,8 @@ def main():
 
     best = min(m2["f32"][0], m2["bf16"][0])
     if extra.get("mode2_batched4_s_per_frame"):
-        # the serving configuration (cli refine_batch) amortises per-frame
-        # cost by vmapping frames; headline = best shipped configuration
+        # headline = best measured configuration (serial has won every
+        # round so far; the min() guards the day a batched config wins)
         best = min(best, extra["mode2_batched4_s_per_frame"])
     torch_est = extra.get("mode2_bf16_torch_est_s", 10.0)
     extra["reference_estimate_s"] = torch_est
@@ -327,12 +373,45 @@ def main():
     del state, batch
 
     # ---------------- CLI serving path (cli/refine.py end-to-end) --------
-    try:
-        cli = bench_cli_serving()
-        extra.update(cli)
-    except Exception as e:
-        print(f"[bench] cli serving bench failed: {e}")
+    if SMOKE:
         extra["cli_s_per_frame"] = None
+    else:
+        try:
+            cli = bench_cli_serving()
+            extra.update(cli)
+        except Exception as e:
+            print(f"[bench] cli serving bench failed: {e}")
+            extra["cli_s_per_frame"] = None
+
+    # README.md's perf table is GENERATED from these rows (VERDICT r3
+    # weak #6: hand-copied numbers drifted from the evidence files) —
+    # paste verbatim between the README's bench-table markers
+    def row(label, key, unit="s/frame", scale=1.0, fmt="{:.4f}"):
+        v = extra.get(key)
+        return (f"| {label} | "
+                + (fmt.format(v * scale) if v is not None else "—")
+                + f" {unit} |")
+
+    print("\n".join([
+        "<!-- bench-table (generated by bench.py) -->",
+        "| measurement | value |", "|---|---|",
+        row("mode 2 APR refinement (7-Scenes, f32)",
+            "mode2_apr_s_per_frame_f32"),
+        row("mode 2 APR refinement (7-Scenes, bf16)",
+            "mode2_apr_s_per_frame_bf16"),
+        row("mode 2 APR refinement (Cambridge, bf16)",
+            "mode2_cambridge_s_per_frame_bf16"),
+        row("mode 3 pose refinement (7-Scenes)", "mode3_pose_s_per_frame"),
+        row("mode 3 pose refinement (Cambridge)",
+            "mode3_cambridge_s_per_frame"),
+        row("mode 3 batched x4", "mode3_batched4_s_per_frame"),
+        row("mode 2 batched x4 (regression guard)",
+            "mode2_batched4_s_per_frame"),
+        row("CLI serving, end-to-end marginal", "cli_s_per_frame"),
+        row("training throughput", "train_rays_per_sec", unit="rays/s",
+            fmt="{:.0f}"),
+        row("mode-2 bf16 MFU", "mode2_bf16_mfu", unit="", fmt="{:.3f}"),
+    ]))
 
     result = {
         "metric": "nefes50_apr_refine_per_frame",
@@ -346,8 +425,9 @@ def main():
 
 def bench_cli_serving() -> dict:
     """Serving-path cost through cli/refine.py (mode 2, verification on,
-    refine_batch=4) on on-disk fixtures at the 7-Scenes geometry (480x640
-    pngs, df=2 -> 240x320). Runs 8-frame then 16-frame fixtures (the
+    refine_batch=1 — serial-with-prefetch, the measured optimum; see the
+    mode2_batched4 finding) on on-disk fixtures at the 7-Scenes geometry
+    (480x640 pngs, df=2 -> 240x320). Runs 8-frame then 16-frame fixtures (the
     first also compiles every executable); reports the MARGINAL rate
     (T16 - T8) / 8 — the steady-state per-frame serving cost with the
     run-level fixed costs (scene load, model/DFNet init, txt dump)

@@ -33,9 +33,15 @@ def main(argv=None):
     from nefes_tpu.features.dfnet import DFNet, extract_target_features
     from nefes_tpu.refine import (
         RefineConfig, apply_verification, apr_pose, refine_apr_single,
+        refine_apr_verified,
         refine_poses_batch,
     )
     from nefes_tpu.train import create_train_state, make_optimizer
+
+    t_start = time.time()
+
+    def phase(msg):
+        print(f"[refine +{time.time() - t_start:.1f}s] {msg}", flush=True)
 
     scene_name = os.path.basename(opts.datadir.rstrip("/"))
     if opts.load_pose_avg_stats:
@@ -46,6 +52,7 @@ def main(argv=None):
         train_scene = build_scene(opts, train=True)
         test = build_scene(opts, train=False,
                            pose_avg_override=train_scene.pose_avg_stats)
+    phase("scene loaded")
     cfg, model = build_model(opts)
 
     # field weights: converted reference .tar or our orbax ckpt
@@ -98,6 +105,7 @@ def main(argv=None):
             feature_dim=opts.feature_dim, dataset_type=opts.dataset_type,
             pose_avg_stats=pose_avg)
 
+    phase("models/weights ready")
     h, w = opts.render_hw(test.H, test.W)
     hwf_render = (h, w, float(test.focal) / opts.tinyscale)
     near, far = test.near, test.far
@@ -156,6 +164,7 @@ def main(argv=None):
                                  method="nearest")
             masks_np = np.asarray(m[..., 0])
 
+        phase("targets precomputed")
         from nefes_tpu.refine import refine_apr_batch
         kw = dict(svd_reg=opts.svd_reg, freeze_bn=opts.freezeBN,
                   apr_kind=opts.PoseEstimatorType,
@@ -178,6 +187,22 @@ def main(argv=None):
                     None if masks_np is None
                     else jax.device_put(masks_np[sl]))
 
+        # Launch pipeline: per-slice host syncs (np.asarray of the refined
+        # pose) would stall dispatch of the NEXT slice behind the current
+        # scan each launch — with the axon tunnel's per-launch latency
+        # that was ~0.45 s/frame of serving overhead (BENCH_r03
+        # cli_s_per_frame 1.83 vs 1.38 scan-only). Instead keep a bounded
+        # queue of in-flight device results (LOOKAHEAD slices deep, so the
+        # spill path never stages the whole set) and materialize behind it;
+        # pose_errors/printing move OFF the hot loop entirely.
+        LOOKAHEAD = 4
+        pending: list[tuple[slice, object]] = []
+
+        def drain(entry):
+            sl_p, pose_dev = entry
+            out_poses[sl_p] = np.asarray(pose_dev).reshape(-1, 3, 4)
+            phase(f"drained {sl_p.start}")
+
         staged = stage(slices[0]) if slices else None
         for si, sl in enumerate(slices):
             imgs_d, tgts_d, masks_d = staged
@@ -185,16 +210,18 @@ def main(argv=None):
             nb = sl.stop - sl.start
             if nb == 1 or B == 1:
                 for j in range(nb):
-                    out = refine_apr_single(
+                    # one launch per frame: slicing + scan + verification
+                    # inside a single jit (refine_apr_verified)
+                    pose = refine_apr_verified(
                         model, variables, apr_module, apr_vars,
-                        imgs_d[j], tgts_d[j], hists_dev[sl.start + j],
+                        imgs_d, tgts_d, hists_dev, j, sl.start + j,
                         ws_vec, hwf_render, hwf_full, near, far,
-                        rcfg_render, rcfg,
-                        mask=None if masks_d is None else masks_d[j],
-                        **kw)
-                    pose = out["refined_pose"] if opts.no_verification_step \
-                        else apply_verification(out)
-                    out_poses[sl.start + j] = np.asarray(pose)
+                        rcfg_render, rcfg, masks=masks_d,
+                        use_verification=not opts.no_verification_step,
+                        has_mask=masks_d is not None, **kw)
+                    pending.append((slice(sl.start + j, sl.start + j + 1),
+                                    pose))
+                    phase(f"launched {sl.start + j}")
             else:
                 out = refine_apr_batch(
                     model, variables, apr_module, apr_vars,
@@ -203,10 +230,14 @@ def main(argv=None):
                     masks=masks_d, **kw)
                 poses = out["refined_pose"] if opts.no_verification_step \
                     else apply_verification(out)
-                out_poses[sl] = np.asarray(poses)
-            results[sl] = pose_errors(out_poses[sl], test.poses[sl])
-            if sl.start % 10 == 0:
-                print(f"renders {sl.start}/total {n}", flush=True)
+                pending.append((sl, poses))
+            while len(pending) > LOOKAHEAD:
+                drain(pending.pop(0))
+            if sl.start % 50 == 0:
+                print(f"queued {sl.start}/total {n}", flush=True)
+        for entry in pending:
+            drain(entry)
+        results = pose_errors(out_poses, test.poses)
     else:  # pose_only == 3: APR init poses then SE(3) delta refinement
         from nefes_tpu.refine.apr_opt import apr_pose_any
         pose_avg_j = None if pose_avg is None else jnp.asarray(pose_avg)

@@ -24,6 +24,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from nefes_tpu.ops.pooling import max_pool_2x2
 from nefes_tpu.utils.image import resize_bilinear
 
 # VGG16 conv plan: (name, out_channels); 'M' = 2x2 maxpool
@@ -90,7 +91,9 @@ class DFNet(nn.Module):
         taps = []
         for item in VGG16_PLAN:
             if item == "M":
-                h = nn.max_pool(h, (2, 2), strides=(2, 2))
+                # custom-VJP pool: XLA's select-and-scatter maxpool
+                # backward is serial on TPU (ops/pooling.py)
+                h = max_pool_2x2(h)
                 continue
             name, ch = item
             h = nn.Conv(ch, (3, 3), padding="SAME", name=name,

@@ -27,6 +27,31 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
+class SplitDense(nn.Module):
+    """Dense over a conceptual concat [a, b] computed as two matmuls
+    a @ K[:da] + b @ K[da:] + bias — same math and the SAME param tree as
+    ``nn.Dense`` applied to the concat (kernel (da+db, out), bias (out,)),
+    but without materializing the concatenated activation. On TPU the
+    concat forces a lane-relayout copy of the (R, S, W) hidden state and
+    its backward emits a slice + copy pair — ~50 ms of pure data movement
+    per refinement frame at the 7-Scenes shape (PROFILE_r04 top-ops
+    %split/%copy rows)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        da, db = a.shape[-1], b.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (da + db, self.features), jnp.float32).astype(self.dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32).astype(self.dtype)
+        return (a.astype(self.dtype) @ kernel[:da]
+                + b.astype(self.dtype) @ kernel[da:] + bias)
+
+
 class NeRFHNFF(nn.Module):
     """Coarse or fine NeFeS field MLP.
 
@@ -47,6 +72,13 @@ class NeRFHNFF(nn.Module):
     encode_transient: bool = None       # default: fine only
     beta_min: float = 0.1
     dtype: Any = jnp.float32            # compute dtype (bf16 on TPU)
+    # dtype of the big per-sample channel heads (static_rgb/static_feat/
+    # transient_rgb). The (R, S, 128) feature head is the largest tensor
+    # of a refinement iteration; keeping it in the compute dtype (instead
+    # of casting up) halves its HBM traffic — the compositor contracts it
+    # on the MXU with f32 accumulation (render/compositor.py:_contract).
+    # Scalar heads (sigmas, beta) always return f32. None -> f32.
+    head_dtype: Any = None
 
     @property
     def has_transient(self) -> bool:
@@ -64,31 +96,37 @@ class NeRFHNFF(nn.Module):
         h = x
         for i in range(self.depth):
             if i in self.skips:
-                h = jnp.concatenate([x, h], axis=-1)
-            h = nn.relu(dense(self.width, f"xyz_encoding_{i + 1}")(h))
+                h = SplitDense(self.width, dtype=self.dtype,
+                               name=f"xyz_encoding_{i + 1}")(x, h)
+            else:
+                h = dense(self.width, f"xyz_encoding_{i + 1}")(h)
+            h = nn.relu(h)
 
         static_sigma = nn.softplus(dense(1, "static_sigma")(h))[..., 0]
         out = {"static_sigma": static_sigma.astype(jnp.float32)}
         if sigma_only:
             return out
 
+        hd = self.head_dtype if self.head_dtype is not None else jnp.float32
         final = dense(self.width, "xyz_encoding_final")(h)
-        d = jnp.concatenate([final, dir_emb.astype(self.dtype)], axis=-1)
-        dir_enc = nn.relu(dense(self.width // 2, "dir_encoding")(d))
+        de = dir_emb.astype(self.dtype)
+        dir_enc = nn.relu(SplitDense(self.width // 2, dtype=self.dtype,
+                                     name="dir_encoding")(final, de))
         rgbfeat = dense(3 + self.feature_dim, "static_rgb")(dir_enc)
-        out["static_rgb"] = rgbfeat[..., :3].astype(jnp.float32)
-        out["static_feat"] = rgbfeat[..., 3:].astype(jnp.float32)
+        out["static_rgb"] = rgbfeat[..., :3].astype(hd)
+        out["static_feat"] = rgbfeat[..., 3:].astype(hd)
 
         if not (self.has_transient and output_transient):
             return out
 
-        t = d
-        for i in range(3):
+        t = nn.relu(SplitDense(self.width // 2, dtype=self.dtype,
+                               name="transient_encoding_1")(final, de))
+        for i in range(1, 3):
             t = nn.relu(dense(self.width // 2, f"transient_encoding_{i + 1}")(t))
         out["transient_sigma"] = nn.softplus(
             dense(1, "transient_sigma")(t))[..., 0].astype(jnp.float32)
         out["transient_rgb"] = nn.sigmoid(
-            dense(3, "transient_rgb")(t)).astype(jnp.float32)
+            dense(3, "transient_rgb")(t)).astype(hd)
         out["transient_beta"] = nn.softplus(
             dense(1, "transient_beta")(t))[..., 0].astype(jnp.float32)
         return out

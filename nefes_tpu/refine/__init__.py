@@ -6,6 +6,7 @@ from nefes_tpu.refine.pose_opt import (
     render_feature_image, fix_coord_supp_jnp,
 )
 from nefes_tpu.refine.apr_opt import (
-    refine_apr_single, refine_apr_batch, apply_verification, apr_pose,
+    refine_apr_single, refine_apr_batch, refine_apr_verified,
+    apply_verification, apr_pose,
     apr_pose_any,
 )

@@ -192,6 +192,41 @@ def apply_verification(result: dict) -> jnp.ndarray:
     return jnp.where(retreat, result["initial_pose"], result["refined_pose"])
 
 
+@partial(jax.jit, static_argnames=("model", "dfnet", "cfg", "rcfg",
+                                   "hwf_render", "hwf_full", "svd_reg",
+                                   "freeze_bn", "apr_kind", "dataset_type",
+                                   "use_verification", "has_mask"))
+def refine_apr_verified(model: NeFeSModel, variables, dfnet, dfnet_vars,
+                        images, targets, hists, idx, hist_idx,
+                        ws_vec, hwf_render: tuple, hwf_full: tuple,
+                        near: float, far: float, cfg: RenderConfig,
+                        rcfg: RefineConfig, svd_reg: bool = True,
+                        masks=None, freeze_bn: bool = True,
+                        apr_kind: str = "DFNet",
+                        dataset_type: str = "7Scenes", pose_avg=None,
+                        use_verification: bool = True,
+                        has_mask: bool = False) -> jnp.ndarray:
+    """ONE-LAUNCH serving step: slice frame ``idx`` out of the staged
+    batch, run the 50-iter mode-2 scan, apply the verification fail-safe,
+    return only the final (3, 4) pose.
+
+    Exists for the serving loop (cli/refine.py): doing the slicing /
+    verification / pose selection as separate host-driven device ops puts
+    several extra tunnel round-trips on every frame — measured as part of
+    the 1.33x CLI-vs-scan gap in BENCH_r03 (VERDICT r3 item 5). ``idx``
+    / ``hist_idx`` are traced scalars, so one executable serves every
+    frame of a slice."""
+    out = refine_apr_single(
+        model, variables, dfnet, dfnet_vars, images[idx], targets[idx],
+        hists[hist_idx], ws_vec, hwf_render, hwf_full, near, far, cfg,
+        rcfg, svd_reg=svd_reg,
+        mask=masks[idx] if has_mask else None,
+        freeze_bn=freeze_bn, apr_kind=apr_kind, dataset_type=dataset_type,
+        pose_avg=pose_avg)
+    return apply_verification(out) if use_verification \
+        else out["refined_pose"]
+
+
 def refine_apr_batch(model: NeFeSModel, variables, dfnet, dfnet_vars,
                      images, targets, hists, ws_vec, hwf_render: tuple,
                      hwf_full: tuple, near: float, far: float,
@@ -201,10 +236,17 @@ def refine_apr_batch(model: NeFeSModel, variables, dfnet, dfnet_vars,
                      dataset_type: str = "7Scenes", pose_avg=None) -> dict:
     """vmap mode-2 refinement across B query frames — B independent
     APR-weight optimisations in ONE launch (the reference runs frames
-    serially, DFM_APR_refine.py:204; batching fills the MXU with B x the
-    sample count and amortises every fixed cost). Carries B copies of the
-    APR params + Adam state; size accordingly (DFNet/VGG16: ~180 MB HBM
-    per frame in the batch)."""
+    serially, DFM_APR_refine.py:204).
+
+    MEASURED (BENCH_r03/r04, v5e): batching mode 2 is a PESSIMIZATION —
+    B=4 ran 1.85 s/frame vs 1.38 serial, because each frame in the batch
+    carries its own VGG16 param + Adam-state copies (~180 MB HBM/frame)
+    and the optimizer/param traffic scales with B while the per-launch
+    fixed cost it amortises is small. Serial-with-prefetch
+    (cli/refine.py) is the shipped optimum for mode 2; this entry point
+    remains for small-model APR families and the sharded per-device path
+    (parallel/train_dp.py:refine_apr_sharded), where one frame per
+    device is the winning layout."""
     kw = dict(svd_reg=svd_reg, freeze_bn=freeze_bn, apr_kind=apr_kind,
               dataset_type=dataset_type, pose_avg=pose_avg)
 

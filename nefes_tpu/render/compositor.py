@@ -27,11 +27,31 @@ import jax.numpy as jnp
 DELTA_INF = 1e2
 
 
+def _contract(w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Composite contraction sum_s w[...,s] * x[...,s,c] -> (..., C).
+
+    Written as an einsum so a bf16 value tensor rides the MXU with f32
+    accumulation instead of being cast up to a second full-size f32
+    tensor first — the (R, S, 128) feature head is the largest array in
+    the whole refinement iteration and this read dominates composite
+    time (PROFILE_r04). For f32 inputs this is numerically the classic
+    multiply-reduce."""
+    return jnp.einsum("...s,...sc->...c", w.astype(x.dtype), x,
+                      preferred_element_type=jnp.float32)
+
+
 def _weights(alphas: jnp.ndarray) -> jnp.ndarray:
     """alphas (R, S) -> compositing weights alpha_i * prod(1 - alpha_<i)."""
     shifted = jnp.concatenate(
         [jnp.ones_like(alphas[..., :1]), 1.0 - alphas[..., :-1]], axis=-1)
     transmittance = jnp.cumprod(shifted, axis=-1)
+    # flush vanishing transmittance to EXACT zero: with the reference's
+    # 1e2 delta tail (DELTA_INF) the saturated-ray products land in the
+    # f32 denormal band, and denormal weights propagating into the
+    # (R, S, C) head contractions run ~100x slow on CPU backends (TPU
+    # flushes denormals in hardware). 1e-24 is far below any weight that
+    # could matter at f32 precision, so numerics are unchanged.
+    transmittance = jnp.where(transmittance > 1e-24, transmittance, 0.0)
     return alphas * transmittance, transmittance
 
 
@@ -57,7 +77,9 @@ def composite(raw: dict[str, jnp.ndarray], z_vals: jnp.ndarray,
     deltas = jnp.concatenate(
         [deltas, jnp.full_like(deltas[..., :1], DELTA_INF)], axis=-1)
 
-    static_sigmas = raw["static_sigma"]
+    # per-sample scalar heads are (R, S) — cast up front so the alpha/
+    # transmittance chain runs f32 even when the field emits bf16 heads
+    static_sigmas = raw["static_sigma"].astype(jnp.float32)
 
     if sigma_only:
         # coarse-at-test fast path (nerfh_nff.py:33-34,83-89): only weights
@@ -72,7 +94,7 @@ def composite(raw: dict[str, jnp.ndarray], z_vals: jnp.ndarray,
     static_feats = raw["static_feat"]      # (R, S, F)
 
     if output_transient:
-        transient_sigmas = raw["transient_sigma"]
+        transient_sigmas = raw["transient_sigma"].astype(jnp.float32)
         static_alphas = 1.0 - jnp.exp(-deltas * static_sigmas)
         transient_alphas = 1.0 - jnp.exp(-deltas * transient_sigmas)
         alphas = 1.0 - jnp.exp(-deltas * (static_sigmas + transient_sigmas))
@@ -94,9 +116,9 @@ def composite(raw: dict[str, jnp.ndarray], z_vals: jnp.ndarray,
         if test_time and not transient_at_test:
             # static-only re-composition (nerfh_nff.py:92-117)
             s_weights, _ = _weights(static_alphas)
-            rgb = (s_weights[..., None] * static_rgbs).sum(-2)
+            rgb = _contract(s_weights, static_rgbs)
             w_ng = jax.lax.stop_gradient(s_weights)
-            feat = (w_ng[..., None] * static_feats).sum(-2)
+            feat = _contract(w_ng, static_feats)
             depth = (s_weights * z_vals).sum(-1)
             disp = 1.0 / jnp.maximum(1e-10, depth / s_weights.sum(-1))
             return {"rgb": rgb, "feat": feat, "disp": disp, "acc": acc,
@@ -104,19 +126,19 @@ def composite(raw: dict[str, jnp.ndarray], z_vals: jnp.ndarray,
                     "transient_sigmas": transient_sigmas,
                     "beta": jnp.zeros_like(acc)}
 
-        static_rgb_map = (static_weights[..., None] * static_rgbs).sum(-2)
+        static_rgb_map = _contract(static_weights, static_rgbs)
         w_ng = jax.lax.stop_gradient(static_weights)
-        feat = (w_ng[..., None] * static_feats).sum(-2)
+        feat = _contract(w_ng, static_feats)
         if white_bkgd:
             static_rgb_map = static_rgb_map + (1.0 - acc[..., None])
-        transient_rgb_map = (transient_weights[..., None]
-                             * raw["transient_rgb"]).sum(-2)
-        beta = (transient_weights * raw["transient_beta"]).sum(-1) + beta_min
+        transient_rgb_map = _contract(transient_weights, raw["transient_rgb"])
+        beta = (transient_weights
+                * raw["transient_beta"].astype(jnp.float32)).sum(-1) + beta_min
         rgb = static_rgb_map + transient_rgb_map
     else:
-        rgb = (weights[..., None] * static_rgbs).sum(-2)
+        rgb = _contract(weights, static_rgbs)
         w_ng = jax.lax.stop_gradient(weights)
-        feat = (w_ng[..., None] * static_feats).sum(-2)
+        feat = _contract(w_ng, static_feats)
         beta = jnp.zeros_like(acc)
 
     depth = (weights * z_vals).sum(-1)

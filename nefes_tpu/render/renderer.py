@@ -49,6 +49,12 @@ class RenderConfig:
     # all weight-grad matmuls in the kernel VJP (frozen-field refinement).
     fused: bool = False
     fused_need_dw: bool = True
+    # dtype name the (R, S, 63/27) frequency embeddings are MATERIALIZED
+    # in before the field MLP. The field casts its input to its compute
+    # dtype anyway; emitting the embedding already in that dtype halves
+    # the largest activation write+read of the forward pass (the sin/cos
+    # phases themselves are always computed in f32). "float32" = legacy.
+    embed_dtype: str = "float32"
     # Composite-fused fine pass (kernels/fused_render.py): the fine
     # query AND the volume composite run in one Pallas kernel emitting
     # per-RAY outputs (R x 133 instead of 128R x 131 to HBM). Only valid
@@ -89,11 +95,12 @@ def _query(field_fn: FieldFn, params, pts: jnp.ndarray, viewdirs: jnp.ndarray,
             viewdirs[..., None, :], pts.shape)
         return field_fn(params, pts, dirs, sigma_only, output_transient)
     w_xyz, w_dir = window if window is not None else (None, None)
-    xyz_emb = embed(pts, cfg.xyz_embed, window=w_xyz)
+    ed = jnp.dtype(cfg.embed_dtype)
+    xyz_emb = embed(pts, cfg.xyz_embed, window=w_xyz).astype(ed)
     if sigma_only:
         return field_fn(params, xyz_emb, None, True, False)
     dirs = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
-    dir_emb = embed(dirs, cfg.dir_embed, window=w_dir)
+    dir_emb = embed(dirs, cfg.dir_embed, window=w_dir).astype(ed)
     return field_fn(params, xyz_emb, dir_emb, False, output_transient)
 
 

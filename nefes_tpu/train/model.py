@@ -37,6 +37,7 @@ class ModelConfig:
     dtype: Any = jnp.float32
 
     def render_config(self, **overrides) -> RenderConfig:
+        overrides.setdefault("embed_dtype", jnp.dtype(self.dtype).name)
         return RenderConfig(xyz_embed=self.xyz_embed,
                             dir_embed=self.dir_embed, **overrides)
 
@@ -63,7 +64,8 @@ class NeFeSModel:
         kw = dict(depth=c.depth, width=c.width, skips=c.skips,
                   in_channels_xyz=c.xyz_embed.out_dim,
                   in_channels_dir=c.dir_embed.out_dim,
-                  feature_dim=c.feature_dim, dtype=c.dtype)
+                  feature_dim=c.feature_dim, dtype=c.dtype,
+                  head_dtype=c.dtype)
         object.__setattr__(self, "coarse", NeRFHNFF(typ="coarse", **kw))
         object.__setattr__(self, "fine", NeRFHNFF(typ="fine", **kw))
         object.__setattr__(self, "exposure", ExposureMLP(dtype=c.dtype))

@@ -61,26 +61,42 @@ def _cubic_weights(in_size: int, out_size: int):
     return idx.astype(np.int32), w
 
 
+def _resize_matrix(idx: np.ndarray, w: np.ndarray, in_size: int,
+                   out_size: int) -> np.ndarray:
+    """(out, taps) gather indices/weights -> dense (out, in) matrix.
+
+    Interpolation along an axis becomes ONE small matmul instead of
+    per-tap gathers: on TPU the gather lowering is lane-serial and its
+    BACKWARD is a scatter-add — both far off the MXU path the profile
+    showed them displacing (PROFILE_r04 'resize'). Border clamping can
+    give duplicate indices per row, so weights accumulate.
+    """
+    m = np.zeros((out_size, in_size), np.float32)
+    for k in range(idx.shape[1]):
+        np.add.at(m, (np.arange(out_size), idx[:, k]), w[:, k])
+    return m
+
+
+def _apply_axis_matrix(img: jnp.ndarray, axis: int, m: np.ndarray) -> jnp.ndarray:
+    moved = jnp.moveaxis(img, axis, -1)
+    out = jnp.einsum("...i,oi->...o", moved, jnp.asarray(m))
+    return jnp.moveaxis(out, -1, axis)
+
+
 def _resize_axis_linear(img: jnp.ndarray, axis: int, out_size: int,
                         align_corners: bool) -> jnp.ndarray:
-    i0, i1, w1 = _linear_weights(img.shape[axis], out_size, align_corners)
-    a = jnp.take(img, jnp.asarray(i0), axis=axis)
-    b = jnp.take(img, jnp.asarray(i1), axis=axis)
-    shape = [1] * img.ndim
-    shape[axis] = out_size
-    w = jnp.asarray(w1).reshape(shape)
-    return a * (1.0 - w) + b * w
+    in_size = img.shape[axis]
+    i0, i1, w1 = _linear_weights(in_size, out_size, align_corners)
+    idx = np.stack([i0, i1], axis=1)
+    w = np.stack([1.0 - w1, w1], axis=1).astype(np.float32)
+    return _apply_axis_matrix(img, axis,
+                              _resize_matrix(idx, w, in_size, out_size))
 
 
 def _resize_axis_cubic(img: jnp.ndarray, axis: int, out_size: int) -> jnp.ndarray:
     idx, w = _cubic_weights(img.shape[axis], out_size)
-    out = 0.0
-    for k in range(4):
-        g = jnp.take(img, jnp.asarray(idx[:, k]), axis=axis)
-        shape = [1] * img.ndim
-        shape[axis] = out_size
-        out = out + g * jnp.asarray(w[:, k]).reshape(shape)
-    return out
+    return _apply_axis_matrix(
+        img, axis, _resize_matrix(idx, w, img.shape[axis], out_size))
 
 
 def resize_bilinear(img: jnp.ndarray, H: int, W: int,

@@ -353,7 +353,7 @@ def cmd_accuracy(args):
     HH, WW = args.image_h, args.image_w            # >=128x96 (VERDICT)
     TINY = 4
     h, w = HH // TINY, WW // TINY
-    N_TRAIN, N_TEST = args.n_train, 8
+    N_TRAIN, N_TEST = args.n_train, args.n_test
     cache = args.cache
     cached = None
     if cache and os.path.exists(cache):
@@ -478,23 +478,33 @@ def cmd_accuracy(args):
             return np.asarray(_rb(fused[None], HH, WW)[0])
 
         # positives: renders at the GT poses. negatives: renders at
-        # POSE-PERTURBED views at the APR error scale (~5 cm / 2 deg) —
-        # the feature space must distinguish the query view from nearby
-        # wrong poses (a local basin), not from other scene views
-        # (reference pose_perturbation, feature/misc.py:594-677)
+        # POSE-PERTURBED views — the feature space must distinguish the
+        # query view from nearby wrong poses (a local basin), not from
+        # other scene views (reference pose_perturbation,
+        # feature/misc.py:594-677). TWO perturbation scales (the APR
+        # error scale ~5 cm/2 deg AND half of it) shape the basin both
+        # at its rim and near its floor — with one far scale only, the
+        # r3 harness measured just 0.15% of DFM-loss relief between the
+        # APR pose and GT (VERDICT r3 weak #3); the near-scale negatives
+        # are what steepen the final approach.
         rng_np = np.random.default_rng(7)
-        renders_up, renders_neg = [], []
+        NEG_SCALES = tuple(args.neg_scales)
+        renders_up, renders_negs = [], [[] for _ in NEG_SCALES]
         for i in train_idx:
             renders_up.append(render_up_at(scene.poses[i],
                                            scene.hists[i]))
-            dr = rng_np.normal(0, np.deg2rad(2.0) / 1.7, 3)
-            dt = rng_np.normal(0, 0.05 / 1.7, 3)
-            pert = np.asarray(learn_pose(
-                jnp.asarray(dr, jnp.float32), jnp.asarray(dt, jnp.float32),
-                jnp.asarray(scene.poses[i])))[:3, :4]
-            renders_neg.append(render_up_at(pert, scene.hists[i]))
+            for si, sc in enumerate(NEG_SCALES):
+                dr = rng_np.normal(0, sc * np.deg2rad(2.0) / 1.7, 3)
+                dt = rng_np.normal(0, sc * 0.05 / 1.7, 3)
+                pert = np.asarray(learn_pose(
+                    jnp.asarray(dr, jnp.float32),
+                    jnp.asarray(dt, jnp.float32),
+                    jnp.asarray(scene.poses[i])))[:3, :4]
+                renders_negs[si].append(render_up_at(pert, scene.hists[i]))
         renders_up = jnp.asarray(np.stack(renders_up))   # (Nt, HH, WW, C)
-        renders_neg = jnp.asarray(np.stack(renders_neg))
+        # (Nt, n_scales, HH, WW, C)
+        renders_neg = jnp.asarray(np.stack(
+            [np.stack(r) for r in renders_negs], axis=1))
         imgs_full_tr = jnp.asarray(scene.images[train_idx])
 
         adapt_keys = [k for k in dfvars["params"] if k.startswith("adapt")]
@@ -513,9 +523,16 @@ def cmd_accuracy(args):
             def lf(fp):
                 v = {"params": {**frozen, **fp}, "batch_stats": bstats}
                 f = extract_target_features(dfnet, v, imgs_b, HH, WW)
-                pos = jax.vmap(fcl)(f, r_pos).mean()
-                neg = jax.vmap(fcl)(f, r_neg).mean()
-                return pos + jnp.maximum(0.0, 0.3 + pos - neg)
+                pos = jax.vmap(fcl)(f, r_pos)          # (B,)
+                # r_neg: (B, n_scales, H, W, C); per-sample hinge against
+                # the HARDEST (closest) negative — the reference's
+                # hard-negative mining (feature/misc.py:390-592) applied
+                # to pose-perturbed renders
+                neg = jax.vmap(lambda fi, ni: jax.vmap(
+                    lambda n: fcl(fi, n))(ni))(f, r_neg)   # (B, S)
+                hardest = jnp.min(neg, axis=1)
+                hinge = jnp.maximum(0.0, 0.3 + pos - hardest)
+                return pos.mean() + hinge.mean()
             l, g = jax.value_and_grad(lf)(ft_params)
             up, ft_opt = ft_tx.update(g, ft_opt, ft_params)
             return optax.apply_updates(ft_params, up), ft_opt, l
@@ -676,7 +693,21 @@ def cmd_accuracy(args):
     refined, init_poses = best["refined"], best["init_poses"]
     err_init, err_ver = best["err_init"], best["err_ver"]
     err_ref = pose_errors(refined, gt)
-    retreats = int(np.sum(np.any(verified != refined, axis=(1, 2))))
+    retreated = np.any(verified != refined, axis=(1, 2))
+    retreats = int(np.sum(retreated))
+    # verification-proxy confusion (VERDICT r3 weak #3: 2/8 frames ended
+    # worse with zero retreats and no artifact quantified the PSNR/SSIM
+    # proxy's miss rate): a frame is "degraded" when the unverified
+    # refined pose is worse than the initial APR pose
+    degraded = err_ref[:, 0] > err_init[:, 0] + 1e-9
+    ver_confusion = {
+        "degraded_frames": int(degraded.sum()),
+        "retreat_true_positive": int(np.sum(degraded & retreated)),
+        "retreat_miss": int(np.sum(degraded & ~retreated)),
+        "retreat_false_positive": int(np.sum(~degraded & retreated)),
+        "proxy_miss_rate": float(np.sum(degraded & ~retreated)
+                                 / max(int(degraded.sum()), 1)),
+    }
 
     # ---- mode-3 (SE(3)-delta) evidence on the same field/frames (the
     # r02 harness's mode, kept regenerable after the probe consolidation;
@@ -684,19 +715,46 @@ def cmd_accuracy(args):
     from nefes_tpu.refine import refine_poses_batch
     targets_rs = jax.lax.stop_gradient(extract_target_features(
         dfnet, dfvars, test_imgs, h, w))
-    m3_out, _ = refine_poses_batch(
-        model_r, state.variables, jnp.asarray(np.stack(apr_poses0)),
-        targets_rs, test_hists, scene.world, hwf, tcfg_r,
-        RefineConfig(opt_iter=args.opt_iter, lr_r=0.004, lr_t=0.01,
-                     per_pixel=best["per_pixel"]))
-    err_m3 = pose_errors(np.asarray(m3_out), gt)
+    err_m3_init = pose_errors(np.stack(apr_poses0), gt)
+
+    # lr_r SWEPT (VERDICT r3 weak #4: the hand-picked 0.004 improved
+    # translation 8/8 but degraded median rotation 15% vs the unrefined
+    # APR; candidates bracket the CLI default 0.0087); selection
+    # balances both errors via the summed relative improvement
+    m3_runs = []
+    for lr_r in args.mode3_lr_r:
+        m3_out, _ = refine_poses_batch(
+            model_r, state.variables, jnp.asarray(np.stack(apr_poses0)),
+            targets_rs, test_hists, scene.world, hwf, tcfg_r,
+            RefineConfig(opt_iter=args.opt_iter, lr_r=lr_r, lr_t=0.01,
+                         per_pixel=best["per_pixel"]))
+        e = pose_errors(np.asarray(m3_out), gt)
+        m3_runs.append({
+            "lr_r": lr_r,
+            "median_t_m": float(np.median(e[:, 0])),
+            "median_r_deg": float(np.median(e[:, 1])),
+            "improved_t_frac": float(np.mean(e[:, 0] < err_m3_init[:, 0])),
+            "improved_r_frac": float(np.mean(e[:, 1] < err_m3_init[:, 1])),
+        })
+        print(f"mode-3 lr_r={lr_r}: {m3_runs[-1]}", flush=True)
+    t0m, r0m = (float(np.median(err_m3_init[:, 0])),
+                float(np.median(err_m3_init[:, 1])))
+    best_m3 = max(m3_runs, key=lambda r: (t0m - r["median_t_m"]) / t0m
+                  + (r0m - r["median_r_deg"]) / r0m)
     mode3 = {
-        "mode3_median_t_after_m": float(np.median(err_m3[:, 0])),
-        "mode3_median_r_after_deg": float(np.median(err_m3[:, 1])),
-        "mode3_improved_frames_frac": float(np.mean(
-            err_m3[:, 0] < np.array([pose_errors(
-                apr_poses0[i][None], gt[i:i + 1])[0, 0]
-                for i in range(N_TEST)]))),
+        "mode3_median_t_after_m": best_m3["median_t_m"],
+        "mode3_median_r_after_deg": best_m3["median_r_deg"],
+        "mode3_median_t_before_m": t0m,
+        "mode3_median_r_before_deg": r0m,
+        "mode3_improved_frames_frac": best_m3["improved_t_frac"],
+        "mode3_improved_rot_frames_frac": best_m3["improved_r_frac"],
+        "mode3_lr_r": best_m3["lr_r"],
+        "mode3_lr_r_sweep": m3_runs,
+        "mode3_note": (
+            "lr_r swept; best by summed relative (t, r) improvement. "
+            f"rotation median {'improves' if best_m3['median_r_deg'] <= r0m else 'DEGRADES'} "
+            f"vs the unrefined APR ({r0m:.3f} -> "
+            f"{best_m3['median_r_deg']:.3f} deg) — reported either way."),
     }
     print("mode-3:", json.dumps(mode3), flush=True)
 
@@ -727,8 +785,13 @@ def cmd_accuracy(args):
         "retreat_frames": retreats,
         "frames_worse_after_verification": int(np.sum(
             err_ver[:, 0] > err_init[:, 0] + 1e-9)),
+        "verification_confusion": ver_confusion,
         "improved_frames_frac": float(np.mean(
             err_ver[:, 0] < err_init[:, 0])),
+        "dfm_relief_fused_pct": round(100.0 * (
+            landscape["dfm_loss_at_init_fused"]
+            - landscape["dfm_loss_at_gt_fused"])
+            / max(landscape["dfm_loss_at_init_fused"], 1e-9), 2),
         **mode3,
         **landscape,
         "wall_s": round(time.time() - t_start, 1),
@@ -745,10 +808,398 @@ def cmd_accuracy(args):
         json.dump(result, f, indent=1)
 
 
+# --------------------------------------------------------------------------
+# kernelmicro: localize where fused-field kernel time goes
+# --------------------------------------------------------------------------
+
+def cmd_kernelmicro(args):
+    """Ablation microbenchmarks of Pallas kernel variants at the fine-pass
+    shape (614k samples): a bare 8-layer bf16 matmul chain, then +embed,
+    then +heads — against the measured full kernel and the roofline
+    (compute ~1.0 ms, HBM ~0.5 ms). Identifies whether the 12.8 ms
+    KERNEL_r03 forward is per-matmul overhead (chain time scales with
+    1/tile), embed transcendentals, or head matmuls."""
+    from functools import partial as _part
+
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N = H * W * 128
+    D, W_, E = 8, 128, 64
+    print("device:", jax.devices()[0], "N =", N, flush=True)
+
+    key = jax.random.key(0)
+    x_in = jax.random.normal(key, (N, E), jnp.bfloat16)
+    ws = [jax.random.normal(jax.random.key(i + 1), (E if i == 0 else W_, W_),
+                            jnp.bfloat16) * 0.05 for i in range(D)]
+    pts = jax.random.normal(key, (N, 3), jnp.float32)
+
+    def chain_kernel(n_layers, *refs):
+        x = refs[0]
+        wrefs = refs[1:1 + n_layers]
+        o = refs[1 + n_layers]
+        h = x[:]
+        for i in range(n_layers):
+            h = jnp.maximum(jnp.dot(h, wrefs[i][:],
+                                    preferred_element_type=jnp.float32)
+                            .astype(jnp.bfloat16), 0)
+        o[:] = h
+
+    def run_chain(tile, n_layers=D):
+        fn = pl.pallas_call(
+            _part(chain_kernel, n_layers),
+            grid=(N // tile,),
+            in_specs=[pl.BlockSpec((tile, E), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)]
+                     + [pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+                        for w in ws[:n_layers]],
+            out_specs=pl.BlockSpec((tile, W_), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((N, W_), jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )
+        return jax.jit(lambda x, *w: jnp.sum(
+            fn(x, *w).astype(jnp.float32)))
+
+    def chain_interleaved_kernel(n_blocks, *refs):
+        """Same 8-layer chain but over n_blocks INDEPENDENT sub-blocks,
+        layer ops interleaved — if Mosaic/the TensorCore can issue
+        independent matmuls to different MXUs, throughput should scale
+        with n_blocks; if the chain is one-MXU-pipe-bound it won't."""
+        x = refs[0]
+        wrefs = refs[1:1 + D]
+        o = refs[1 + D]
+        t = x.shape[0] // n_blocks
+        hs = [x[i * t:(i + 1) * t, :] for i in range(n_blocks)]
+        for li in range(D):
+            hs = [jnp.maximum(jnp.dot(h, wrefs[li][:],
+                                      preferred_element_type=jnp.float32)
+                              .astype(jnp.bfloat16), 0) for h in hs]
+        o[:] = jnp.concatenate(hs, axis=0)
+
+    def run_chain_interleaved(tile, n_blocks):
+        fn = pl.pallas_call(
+            _part(chain_interleaved_kernel, n_blocks),
+            grid=(N // tile,),
+            in_specs=[pl.BlockSpec((tile, E), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)]
+                     + [pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+                        for w in ws],
+            out_specs=pl.BlockSpec((tile, W_), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((N, W_), jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )
+        return jax.jit(lambda x, *w: jnp.sum(fn(x, *w).astype(jnp.float32)))
+
+    results = {}
+    for tile in args.tiles:
+        f = run_chain(tile)
+        results[f"chain8_tile{tile}_ms"] = timeit(
+            f"bare 8-layer chain tile={tile}",
+            lambda f=f: f(x_in, *ws)) * 1e3
+
+    for nb in (2, 4):
+        f = run_chain_interleaved(2048, nb)
+        results[f"chain8_interleave{nb}_ms"] = timeit(
+            f"interleaved x{nb} chain tile=2048",
+            lambda f=f: f(x_in, *ws)) * 1e3
+
+    # embed-only kernel: in-kernel sin/cos of 10 freqs
+    def embed_kernel(p, o):
+        x = p[:].astype(jnp.float32)
+        bands = 2.0 ** np.linspace(0.0, 9.0, 10)
+        xs = jnp.concatenate([x * float(f) for f in bands], axis=1)
+        o[:] = jnp.concatenate(
+            [jnp.sin(xs), jnp.cos(xs),
+             jnp.zeros((x.shape[0], 4), jnp.float32)],
+            axis=1).astype(jnp.bfloat16)
+
+    for tile in args.tiles:
+        if tile > 2048:
+            continue   # unrolled 10-band embed blows scoped VMEM above 2048
+        fn = pl.pallas_call(
+            embed_kernel, grid=(N // tile,),
+            in_specs=[pl.BlockSpec((tile, 3), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((tile, E), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((N, E), jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )
+        f = jax.jit(lambda p, fn=fn: jnp.sum(fn(p).astype(jnp.float32)))
+        results[f"embed_tile{tile}_ms"] = timeit(
+            f"embed-only kernel tile={tile}", lambda f=f: f(pts)) * 1e3
+
+    # full production kernel at the same shapes, per tile
+    from nefes_tpu.kernels.fused_field import FieldSpec, fused_field_apply, \
+        pack_params
+    from nefes_tpu.train import ModelConfig, NeFeSModel
+    cfg16 = ModelConfig(dtype=jnp.bfloat16)
+    params = NeFeSModel(cfg16).init_variables(jax.random.key(0))["params"]
+    dirs = jax.random.normal(jax.random.key(9), (N, 3))
+    red = lambda o: sum(jnp.sum(v.astype(jnp.float32))
+                        for v in jax.tree.leaves(o))
+    for tile in args.tiles:
+        sp = FieldSpec.from_model(cfg16, "fine", dtype="bfloat16", tile=tile)
+        wt = pack_params(params["fine"], sp)
+        f = jax.jit(lambda w, x, d, sp=sp: red(fused_field_apply(
+            sp, w, x, d, sigma_only=False, output_transient=False)))
+        results[f"full_kernel_tile{tile}_ms"] = timeit(
+            f"full field kernel tile={tile}",
+            lambda f=f: f(wt, pts, dirs)) * 1e3
+
+    print(json.dumps(results))
+    if args.out:
+        with open(args.out, "w") as fo:
+            json.dump(results, fo, indent=1)
+
+
+# --------------------------------------------------------------------------
+# golden: one-command real-artifact parity drive
+# --------------------------------------------------------------------------
+
+def cmd_golden(args):
+    """convert -> refine -> evaluate vs the reference's paper_result
+    medians, in ONE invocation (VERDICT r3 item 4). Given the released
+    artifacts (reference README.md:62-68: the NeFeS .tar and the DFNet
+    .pt) and a real scene directory, this is the paper-parity acceptance
+    run; it exits non-zero when the refined medians miss the recorded
+    paper numbers by more than the tolerances.
+
+        python runtime/probe.py golden --tar ckpts/nefes_chess.tar \\
+            --apr ckpts/dfnet_chess.pt --scene chess \\
+            --datadir data/7Scenes/chess --ref /root/reference
+
+    Fixture-gated by tests/test_golden_drive.py (synthetic reference-
+    layout .tar + .pt + dataset + paper_result txts), so the command is
+    one invocation the day the real artifacts are present.
+    """
+    from nefes_tpu.cli.refine import main as refine_main
+    from nefes_tpu.evaluation.golden import evaluate_scene, paper_result_dir
+
+    argv = [
+        "--dataset_type", args.dataset_type, "--pose_only", "2",
+        "--datadir", args.datadir, "--data_root", args.data_root,
+        "--ft_path", args.tar,
+        "--pretrain_model_path", args.apr,
+        "--pretrain_featurenet_path", args.featurenet or args.apr,
+        "--df", str(args.df), "--tinyscale", "4",
+        "--opt_iter", str(args.opt_iter),
+        "--apr_compute_dtype", args.apr_compute_dtype,
+        # the released DFM configs' settings (config_chess_DFM.txt:19-22)
+        "--freezeBN", "true", "--svd_reg", "true",
+    ]
+    if args.extra_args:
+        argv += args.extra_args
+    print("[golden] refine:", " ".join(argv), flush=True)
+    ours = refine_main(argv)
+
+    scene_dir = paper_result_dir(args.ref, args.dataset_type) / args.scene
+    paper = evaluate_scene(scene_dir, args.scene, refined=True)
+    paper_apr = evaluate_scene(scene_dir, args.scene, refined=False)
+
+    dt = float(ours["median_t_m"]) - float(paper["median_t_m"])
+    dr = float(ours["median_r_deg"]) - float(paper["median_r_deg"])
+    ok = dt <= args.tol_t and dr <= args.tol_r
+    verdict = {
+        "scene": args.scene, "dataset": args.dataset_type,
+        "ours_median_t_m": float(ours["median_t_m"]),
+        "ours_median_r_deg": float(ours["median_r_deg"]),
+        "paper_median_t_m": float(paper["median_t_m"]),
+        "paper_median_r_deg": float(paper["median_r_deg"]),
+        "paper_apr_median_t_m": float(paper_apr["median_t_m"]),
+        "paper_apr_median_r_deg": float(paper_apr["median_r_deg"]),
+        "delta_t_m": round(dt, 5), "delta_r_deg": round(dr, 4),
+        "tol_t_m": args.tol_t, "tol_r_deg": args.tol_r,
+        "pass": bool(ok),
+    }
+    print(json.dumps(verdict, indent=1))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(verdict, f, indent=1)
+    if not ok:
+        raise SystemExit(
+            f"[golden] FAIL: medians miss paper_result by "
+            f"dt={dt:+.4f} m (tol {args.tol_t}), "
+            f"dr={dr:+.3f} deg (tol {args.tol_r})")
+    print("[golden] PASS")
+
+
+# --------------------------------------------------------------------------
+# profile: trace-based per-op/per-phase breakdown of the refinement frame
+# --------------------------------------------------------------------------
+
+def cmd_profile(args):
+    """Capture a jax.profiler trace of the ACTUAL mode-2/mode-3 refinement
+    scans on the real TPU and attribute device time to framework phases
+    via the compiled HLO's source metadata (VERDICT r3 item 1: the repo
+    shipped profiler hooks but no captured breakdown — this is it)."""
+    import shutil
+
+    from runtime.xprof import attribute, load_xla_ops
+
+    from nefes_tpu.data.synthetic import look_at_pose
+    from nefes_tpu.features.dfnet import DFNet, extract_target_features
+    from nefes_tpu.refine import (
+        RefineConfig, refine_apr_single, refine_pose_single,
+    )
+    from nefes_tpu.refine.pose_opt import render_feature_image
+    from nefes_tpu.train import ModelConfig, NeFeSModel
+
+    NFRAMES = args.frames
+    FULL_H, FULL_W = 240, 320
+    hwf = (H, W, FOCAL)
+    hwf_full = (FULL_H, FULL_W, FOCAL * 4)
+    print("device:", jax.devices()[0], flush=True)
+
+    cfg = ModelConfig(dtype=jnp.bfloat16)
+    model = NeFeSModel(cfg)
+    variables = model.init_variables(jax.random.key(0))
+    rcfg_render = cfg.render_config(n_samples=64, n_importance=64,
+                                    output_transient=False, test_time=True,
+                                    perturb=False, remat=False)
+    rcfg = RefineConfig(opt_iter=50, lr_r=0.0087, lr_t=0.01)
+    pose = jnp.asarray(look_at_pose(np.array([0.0, 0.3, 2.4], np.float32)))
+    hist = jnp.zeros(10)
+    ws_vec = jnp.asarray([1.0, 1.0, 0.0, 0.0, 0.0])
+
+    report = {"what": ("per-phase device-time breakdown of one refinement "
+                       "frame (50-iter scan) from a jax.profiler xplane "
+                       "trace; phases attributed via compiled-HLO source "
+                       "metadata (runtime/xprof.py)"),
+              "device": str(jax.devices()[0]),
+              "geometry": {"render_hw": [H, W],
+                           "full_hw": [FULL_H, FULL_W]},
+              "frames_traced": NFRAMES}
+
+    def trace_and_attribute(tag, run, lowered):
+        tdir = f"/tmp/nefes_profile_{tag}"
+        if os.path.isdir(tdir):
+            shutil.rmtree(tdir)
+        for wrm in range(2):
+            sync_scalar(run(wrm))
+        t0 = time.perf_counter()
+        with jax.profiler.trace(tdir):
+            for i in range(NFRAMES):
+                out = run(i + 2)
+            sync_scalar(out)
+        wall = (time.perf_counter() - t0) / NFRAMES
+        ops, busy_ms, span_ms = load_xla_ops(tdir)
+        hlo = lowered.compile().as_text()
+        with open(os.path.join(tdir, "hlo.txt"), "w") as f:
+            f.write(hlo)          # offline re-attribution without recompile
+        phases, per_op = attribute(ops, hlo)
+        phases_frame = {k: round(v / NFRAMES, 3) for k, v in phases.items()}
+        top = [{"ms_per_frame": round(ms / NFRAMES, 3), "op": name,
+                "opcode": opcode, "phase": cat, "count": cnt // NFRAMES}
+               for ms, name, opcode, cat, cnt in per_op[:args.top]]
+        leg = {"wall_s_per_frame": round(wall, 4),
+               "device_busy_ms_per_frame": round(busy_ms / NFRAMES, 1),
+               "device_span_ms_per_frame": round(span_ms / NFRAMES, 1),
+               "host_gap_ms_per_frame": round(
+                   wall * 1000 - busy_ms / NFRAMES, 1),
+               "phases_ms_per_frame": phases_frame,
+               "top_ops": top}
+        print(f"\n=== {tag}: wall {wall:.3f} s/frame, device busy "
+              f"{busy_ms / NFRAMES:.0f} ms ===", flush=True)
+        width = max(len(k) for k in phases_frame)
+        for k, v in phases_frame.items():
+            print(f"  {k:<{width}}  {v:8.1f} ms "
+                  f"({v / (busy_ms / NFRAMES) * 100:4.1f}% of busy)")
+        print("  -- top ops --")
+        for t in top[:12]:
+            print(f"  {t['ms_per_frame']:8.1f} ms x{t['count']:>4} "
+                  f"[{t['phase']}] {t['opcode']} {t['op']}")
+        return leg
+
+    # ---- mode 3 (pose delta; the pure render+loss loop) ----
+    if args.mode in ("3", "both"):
+        _, target3 = render_feature_image(model, variables, pose, hist, hwf,
+                                          NEAR, FAR, rcfg_render)
+        target3 = jax.lax.stop_gradient(target3)
+        args3 = (model, variables, pose, target3, hist, ws_vec, hwf,
+                 NEAR, FAR, rcfg_render, rcfg)
+
+        def run3(i):
+            _, losses = refine_pose_single(
+                model, variables, pose.at[:, 3].add(1e-5 * i), target3,
+                hist, ws_vec, hwf, NEAR, FAR, rcfg_render, rcfg)
+            return losses[-1]
+        report["mode3"] = trace_and_attribute(
+            "mode3", run3, refine_pose_single.lower(*args3))
+
+    # ---- mode 2 (APR weights; the paper headline) ----
+    if args.mode in ("2", "both"):
+        for dt_name in args.dtypes:
+            dt = {"f32": jnp.float32, "bf16": jnp.bfloat16}[dt_name]
+            dfnet = DFNet(output_dim=cfg.feature_dim, dtype=dt)
+            img = jax.random.uniform(jax.random.key(3),
+                                     (FULL_H, FULL_W, 3))
+            dfvars = dfnet.init(jax.random.key(1), img[None],
+                                upsample_hw=(FULL_H, FULL_W))
+            target2 = jax.lax.stop_gradient(extract_target_features(
+                dfnet, dfvars, img[None], FULL_H, FULL_W)[0])
+            args2 = (model, variables, dfnet, dfvars, img, target2, hist,
+                     ws_vec, hwf, hwf_full, NEAR, FAR, rcfg_render, rcfg)
+
+            def run2(i):
+                out = refine_apr_single(
+                    model, variables, dfnet, dfvars,
+                    jnp.clip(img + 1e-5 * i, 0.0, 1.0), target2, hist,
+                    ws_vec, hwf, hwf_full, NEAR, FAR, rcfg_render, rcfg)
+                return out["losses"][-1]
+            report[f"mode2_{dt_name}"] = trace_and_attribute(
+                f"mode2_{dt_name}", run2, refine_apr_single.lower(*args2))
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"\nwrote {args.out}")
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
     sub.add_parser("perf")
+    pm = sub.add_parser("kernelmicro")
+    pm.add_argument("--tiles", type=int, nargs="+",
+                    default=[512, 2048, 8192])
+    pm.add_argument("--out", default="")
+    pg = sub.add_parser("golden")
+    pg.add_argument("--tar", required=True,
+                    help="released NeFeS checkpoint (.tar)")
+    pg.add_argument("--apr", required=True,
+                    help="released DFNet APR checkpoint (.pt)")
+    pg.add_argument("--featurenet", default="",
+                    help="FeatureNet .pt (defaults to --apr)")
+    pg.add_argument("--scene", required=True)
+    pg.add_argument("--datadir", required=True)
+    pg.add_argument("--data_root", default="data")
+    pg.add_argument("--dataset_type", default="7Scenes_colmap",
+                    choices=["7Scenes", "7Scenes_colmap", "Cambridge"])
+    pg.add_argument("--ref", default="/root/reference")
+    pg.add_argument("--df", type=int, default=2)
+    pg.add_argument("--opt_iter", type=int, default=50)
+    pg.add_argument("--apr_compute_dtype", default="bfloat16")
+    pg.add_argument("--tol_t", type=float, default=0.005,
+                    help="allowed median-translation excess vs paper (m)")
+    pg.add_argument("--tol_r", type=float, default=0.2,
+                    help="allowed median-rotation excess vs paper (deg)")
+    pg.add_argument("--out", default="GOLDEN.json")
+    pg.add_argument("--extra_args", nargs=argparse.REMAINDER, default=[],
+                    help="passed through to the refine CLI")
+    pp = sub.add_parser("profile")
+    pp.add_argument("--mode", choices=["2", "3", "both"], default="both")
+    pp.add_argument("--dtypes", nargs="+", default=["bf16"],
+                    choices=["f32", "bf16"])
+    pp.add_argument("--frames", type=int, default=2)
+    pp.add_argument("--top", type=int, default=25)
+    pp.add_argument("--out", default="PROFILE_r04.json")
     pk = sub.add_parser("kernel")
     pk.add_argument("--sweep", action="store_true")
     sub.add_parser("mode2")
@@ -767,17 +1218,26 @@ def main():
     pa.add_argument("--refine_lrs", type=float, nargs="+",
                     default=[1e-5, 5e-6, 2e-6])
     pa.add_argument("--opt_iter", type=int, default=50)
+    pa.add_argument("--n_test", type=int, default=16,
+                    help="test frames (r3 used 8; VERDICT asked >=16)")
     pa.add_argument("--sweep_refine", action="store_true")
     pa.add_argument("--sweep_small", action="store_true")
-    pa.add_argument("--feat_steps", type=int, default=300)
+    pa.add_argument("--feat_steps", type=int, default=600)
     pa.add_argument("--feat_lr", type=float, default=1e-4)
+    pa.add_argument("--neg_scales", type=float, nargs="+",
+                    default=[1.0, 0.5],
+                    help="pose-perturbation scales for contrastive "
+                         "negatives (x APR error scale)")
+    pa.add_argument("--mode3_lr_r", type=float, nargs="+",
+                    default=[0.002, 0.004, 0.0087])
     pa.add_argument("--cache", default="",
                     help="pickle path to save/reuse the trained field+APR"
                          " (skips the ~15 min training when it exists)")
-    pa.add_argument("--out", default="ACCURACY_r03.json")
+    pa.add_argument("--out", default="ACCURACY_r04.json")
     args = p.parse_args()
     {"perf": cmd_perf, "kernel": cmd_kernel, "mode2": cmd_mode2,
-     "accuracy": cmd_accuracy}[args.cmd](args)
+     "accuracy": cmd_accuracy, "profile": cmd_profile,
+     "golden": cmd_golden, "kernelmicro": cmd_kernelmicro}[args.cmd](args)
 
 
 if __name__ == "__main__":
