@@ -326,11 +326,13 @@ def cmd_accuracy(args):
     a DFNet APR trained on the train split, then MODE-2 APR-weight
     refinement with the verification fail-safe
     (DFM_APR_refine.py:158-277) — the run_nefes.py:34-40 +
-    test_refinement.py pipeline in miniature. Writes ACCURACY_r03.json.
+    test_refinement.py pipeline in miniature. Writes ACCURACY_r04.json.
 
     Pretrained paper checkpoints/datasets don't ship in this
-    environment, so the DFNet is randomly initialised (still the real
-    VGG16-hypercolumn tower) and the scene is synthetic; every pipeline
+    environment, so the DFNet starts randomly initialised (still the
+    real VGG16-hypercolumn tower) and is contrastively trained against
+    stage-0 RGB renders before the field's feature stages (the
+    reference's ordering); the scene is synthetic; every pipeline
     stage, loss, and fail-safe is the shipped implementation.
     """
     from nefes_tpu.data.synthetic import make_synthetic_scene
@@ -385,19 +387,23 @@ def cmd_accuracy(args):
     from nefes_tpu.utils.image import resize_bilinear
     imgs_small = np.asarray(resize_bilinear(jnp.asarray(scene.images),
                                             h, w))
-    feats = np.concatenate([
-        np.asarray(extract_target_features(
-            dfnet, dfvars, jnp.asarray(scene.images[i:i + 8]), h, w))
-        for i in range(0, len(scene.images), 8)])
 
-    # ---- 3-stage NeFeS training (the run_nefes.py schedule) ----
+    # ---- 3-stage NeFeS training (the run_nefes.py schedule), in the
+    # reference's ORDER for the feature space: the DFNet extractor is
+    # contrastively trained against RGB renders of the stage-0
+    # (color-only) field BEFORE the field's feature/fusion stages train
+    # on its outputs (feature/misc.py:390-592 trains DFNet on
+    # render_nerfw_imgs renders; NeFeS then learns to render those
+    # features). The earlier r4 harness finetuned AFTER field training,
+    # which left rendered features in the stale pre-finetune space and
+    # measurably FLIPPED the DFM-landscape relief negative. ----
     B = 4
     rng = jax.random.key(2)
-    if cached is None:
-        order = np.random.default_rng(0)
-        stage_epochs = ((0, args.epochs_color), (1, args.epochs_feat),
-                        (2, args.epochs_fusion))
-        ep_global = 0
+    order = np.random.default_rng(0)
+    tcfg = rcfg.test()
+
+    def run_stages(state, rng, stage_epochs, ep_global, feats):
+        aux = None
         for stage, n_ep in stage_epochs:
             for _ in range(n_ep):
                 lr = jnp.asarray(lr_for_epoch(ep_global, 5e-4, 0.5))
@@ -428,21 +434,147 @@ def cmd_accuracy(args):
                           f"psnr={float(aux['psnr']):.2f} {parts}",
                           flush=True)
                 ep_global += 1
+        return state, rng, aux, ep_global
+
+    def extract_all_feats():
+        return np.concatenate([
+            np.asarray(extract_target_features(
+                dfnet, dfvars, jnp.asarray(scene.images[i:i + 8]), h, w))
+            for i in range(0, len(scene.images), 8)])
+
+    if cached is not None and "variables" in cached:
+        state = state.replace(variables=jax.tree.map(
+            jnp.asarray, cached["variables"]))
+        dfvars = {"params": jax.tree.map(jnp.asarray,
+                                         cached["dfvars_params"]),
+                  "batch_stats": dfvars["batch_stats"]}
+        train_psnr = cached["train_psnr"]
+        feats = extract_all_feats()
+    else:
+        if cached is not None and "s0_variables" in cached:
+            state = state.replace(variables=jax.tree.map(
+                jnp.asarray, cached["s0_variables"]))
+            s0_np = cached["s0_variables"]
+            ep_global = args.epochs_color
+            print("stage-0 field from cache", flush=True)
+        else:
+            state, rng, _, ep_global = run_stages(
+                state, rng, ((0, args.epochs_color),), 0, None)
+            s0_np = jax.tree.map(np.asarray, state.variables)
+            if cache:
+                with open(cache, "wb") as f:
+                    pickle.dump({"s0_variables": s0_np}, f)
+                print(f"saved stage-0 field to {cache}", flush=True)
+        if args.feat_steps > 0:
+            # ---- DFNet contrastive finetuning on RGB renders: triplet
+            # between DFNet(real image) and DFNet(rendered image), BOTH
+            # through the trainable extractor (the reference's recipe,
+            # feature/misc.py:390-592), with negatives at POSE-PERTURBED
+            # renders so the feature space becomes pose-discriminative
+            # at the APR error scale. Renders come from the stage-0
+            # color field at FULL resolution (no upsample blur); the
+            # loss compares hypercolumn features at half resolution to
+            # bound activation memory. ----
+            from nefes_tpu.geometry.se3 import learn_pose
+            from nefes_tpu.refine.losses import feature_cosine_loss as fcl
+
+            FH, FW = HH // 2, WW // 2
+
+            def render_rgb_at(pose34, hist):
+                rgb_img, _ = render_feature_image(
+                    model, state.variables, jnp.asarray(pose34),
+                    jnp.asarray(hist), full_hwf, scene.near, scene.far,
+                    tcfg)
+                return np.asarray(rgb_img, np.float32)
+
+            rng_np = np.random.default_rng(7)
+            NEG_SCALES = tuple(args.neg_scales)
+            r_pos, r_negs = [], [[] for _ in NEG_SCALES]
+            for i in train_idx:
+                r_pos.append(render_rgb_at(scene.poses[i],
+                                           scene.hists[i]))
+                for si, sc in enumerate(NEG_SCALES):
+                    dr = rng_np.normal(0, sc * np.deg2rad(2.0) / 1.7, 3)
+                    dt = rng_np.normal(0, sc * 0.05 / 1.7, 3)
+                    pert = np.asarray(learn_pose(
+                        jnp.asarray(dr, jnp.float32),
+                        jnp.asarray(dt, jnp.float32),
+                        jnp.asarray(scene.poses[i])))[:3, :4]
+                    r_negs[si].append(render_rgb_at(pert,
+                                                    scene.hists[i]))
+            r_pos = jnp.asarray(np.stack(r_pos))        # (Nt, HH, WW, 3)
+            r_neg = jnp.asarray(np.stack(               # (Nt, S, HH, WW, 3)
+                [np.stack(x) for x in r_negs], axis=1))
+            imgs_full_tr = jnp.asarray(scene.images[train_idx])
+
+            tr_keys = ([k for k in dfvars["params"]
+                        if k.startswith("adapt")]
+                       if args.feat_train == "adapt" else
+                       [k for k in dfvars["params"] if k != "fc_pose"])
+            ft_tx = optax.adam(args.feat_lr)
+            ft_params = {k: dfvars["params"][k] for k in tr_keys}
+            ft_opt = ft_tx.init(ft_params)
+            frozen = {k: v for k, v in dfvars["params"].items()
+                      if k not in tr_keys}
+
+            # big arrays MUST be jit arguments, not closure captures —
+            # captured constants are baked into the compile payload and
+            # the remote-compile relay rejects >~100 MB requests (413)
+            @jax.jit
+            def ft_step(ft_params, ft_opt, frozen, bstats, imgs_b,
+                        pos_b, neg_b):
+                def lf(fp):
+                    v = {"params": {**frozen, **fp},
+                         "batch_stats": bstats}
+                    Bb, S = neg_b.shape[0], neg_b.shape[1]
+                    allimg = jnp.concatenate(
+                        [imgs_b, pos_b,
+                         neg_b.reshape((Bb * S,) + neg_b.shape[2:])])
+                    f = extract_target_features(dfnet, v, allimg,
+                                                FH, FW)
+                    f_real, f_pos = f[:Bb], f[Bb:2 * Bb]
+                    f_neg = f[2 * Bb:].reshape((Bb, S) + f.shape[1:])
+                    pos = jax.vmap(fcl)(f_real, f_pos)       # (B,)
+                    neg = jax.vmap(lambda fr, ns: jax.vmap(
+                        lambda n: fcl(fr, n))(ns))(f_real, f_neg)
+                    hinge = jnp.maximum(
+                        0.0,
+                        args.feat_margin + pos - jnp.min(neg, axis=1))
+                    return pos.mean() + hinge.mean()
+                l, g = jax.value_and_grad(lf)(ft_params)
+                up, ft_opt = ft_tx.update(g, ft_opt, ft_params)
+                return optax.apply_updates(ft_params, up), ft_opt, l
+
+            n_tr = len(train_idx)
+            for stp in range(args.feat_steps):
+                rng, k1 = jax.random.split(rng)
+                sel = jax.random.randint(k1, (4,), 0, n_tr)
+                ft_params, ft_opt, ft_l = ft_step(
+                    ft_params, ft_opt, frozen, dfvars["batch_stats"],
+                    imgs_full_tr[sel], r_pos[sel], r_neg[sel])
+                if stp % 50 == 0:
+                    print(f"feat-ft step {stp} loss={float(ft_l):.4f}",
+                          flush=True)
+            dfvars = {"params": {**frozen, **ft_params},
+                      "batch_stats": dfvars["batch_stats"]}
+        feats = extract_all_feats()
+        state, rng, aux, _ = run_stages(
+            state, rng,
+            ((1, args.epochs_feat), (2, args.epochs_fusion)),
+            ep_global, feats)
         train_psnr = float(aux["psnr"])
         if cache:
             with open(cache, "wb") as f:
                 pickle.dump(
                     {"variables": jax.tree.map(np.asarray,
                                                state.variables),
+                     "dfvars_params": jax.tree.map(np.asarray,
+                                                   dfvars["params"]),
+                     "s0_variables": s0_np,
                      "train_psnr": train_psnr}, f)
             print(f"saved trained field to {cache}", flush=True)
-    else:
-        state = state.replace(variables=jax.tree.map(
-            jnp.asarray, cached["variables"]))
-        train_psnr = cached["train_psnr"]
 
     # ---- fusion-vs-no-fusion feature quality on TEST views ----
-    tcfg = rcfg.test()
     cos_fused, cos_raw = [], []
     for i in test_idx:
         rgb_img, fused = render_feature_image(
@@ -458,97 +590,6 @@ def cmd_accuracy(args):
                                                    per_pixel=True)))
         cos_raw.append(float(feature_cosine_loss(raw, tgt,
                                                  per_pixel=True)))
-
-    # ---- DFM feature finetuning (the reference's DFNet recipe: the
-    # feature space is TRAINED so renders and real images match —
-    # feature/misc.py render_nerfw_imgs + triplet/cosine losses over
-    # rendered views). Only the adaptation blocks train (adapt_*), so
-    # the VGG trunk and hence the pose head stay untouched; negatives
-    # (features vs OTHER views' renders) keep the space discriminative
-    # instead of collapsing onto the matching objective. ----
-    if args.feat_steps > 0:
-        from nefes_tpu.geometry.se3 import learn_pose
-        from nefes_tpu.refine.losses import feature_cosine_loss as fcl
-        from nefes_tpu.utils.image import resize_bicubic as _rb
-
-        def render_up_at(pose34, hist):
-            _, fused = render_feature_image(
-                model, state.variables, jnp.asarray(pose34),
-                jnp.asarray(hist), hwf, scene.near, scene.far, tcfg)
-            return np.asarray(_rb(fused[None], HH, WW)[0])
-
-        # positives: renders at the GT poses. negatives: renders at
-        # POSE-PERTURBED views — the feature space must distinguish the
-        # query view from nearby wrong poses (a local basin), not from
-        # other scene views (reference pose_perturbation,
-        # feature/misc.py:594-677). TWO perturbation scales (the APR
-        # error scale ~5 cm/2 deg AND half of it) shape the basin both
-        # at its rim and near its floor — with one far scale only, the
-        # r3 harness measured just 0.15% of DFM-loss relief between the
-        # APR pose and GT (VERDICT r3 weak #3); the near-scale negatives
-        # are what steepen the final approach.
-        rng_np = np.random.default_rng(7)
-        NEG_SCALES = tuple(args.neg_scales)
-        renders_up, renders_negs = [], [[] for _ in NEG_SCALES]
-        for i in train_idx:
-            renders_up.append(render_up_at(scene.poses[i],
-                                           scene.hists[i]))
-            for si, sc in enumerate(NEG_SCALES):
-                dr = rng_np.normal(0, sc * np.deg2rad(2.0) / 1.7, 3)
-                dt = rng_np.normal(0, sc * 0.05 / 1.7, 3)
-                pert = np.asarray(learn_pose(
-                    jnp.asarray(dr, jnp.float32),
-                    jnp.asarray(dt, jnp.float32),
-                    jnp.asarray(scene.poses[i])))[:3, :4]
-                renders_negs[si].append(render_up_at(pert, scene.hists[i]))
-        renders_up = jnp.asarray(np.stack(renders_up))   # (Nt, HH, WW, C)
-        # (Nt, n_scales, HH, WW, C)
-        renders_neg = jnp.asarray(np.stack(
-            [np.stack(r) for r in renders_negs], axis=1))
-        imgs_full_tr = jnp.asarray(scene.images[train_idx])
-
-        adapt_keys = [k for k in dfvars["params"] if k.startswith("adapt")]
-        ft_tx = optax.adam(args.feat_lr)
-        ft_params = {k: dfvars["params"][k] for k in adapt_keys}
-        ft_opt = ft_tx.init(ft_params)
-        frozen = {k: v for k, v in dfvars["params"].items()
-                  if k not in adapt_keys}
-
-        # big arrays MUST be jit arguments, not closure captures —
-        # captured constants are baked into the compile payload and the
-        # remote-compile relay rejects >~100 MB requests (HTTP 413)
-        @jax.jit
-        def ft_step(ft_params, ft_opt, frozen, bstats, imgs_b, r_pos,
-                    r_neg):
-            def lf(fp):
-                v = {"params": {**frozen, **fp}, "batch_stats": bstats}
-                f = extract_target_features(dfnet, v, imgs_b, HH, WW)
-                pos = jax.vmap(fcl)(f, r_pos)          # (B,)
-                # r_neg: (B, n_scales, H, W, C); per-sample hinge against
-                # the HARDEST (closest) negative — the reference's
-                # hard-negative mining (feature/misc.py:390-592) applied
-                # to pose-perturbed renders
-                neg = jax.vmap(lambda fi, ni: jax.vmap(
-                    lambda n: fcl(fi, n))(ni))(f, r_neg)   # (B, S)
-                hardest = jnp.min(neg, axis=1)
-                hinge = jnp.maximum(0.0, 0.3 + pos - hardest)
-                return pos.mean() + hinge.mean()
-            l, g = jax.value_and_grad(lf)(ft_params)
-            up, ft_opt = ft_tx.update(g, ft_opt, ft_params)
-            return optax.apply_updates(ft_params, up), ft_opt, l
-
-        n_tr = len(train_idx)
-        for step in range(args.feat_steps):
-            rng, k1 = jax.random.split(rng)
-            sel = jax.random.randint(k1, (4,), 0, n_tr)
-            ft_params, ft_opt, ft_l = ft_step(
-                ft_params, ft_opt, frozen, dfvars["batch_stats"],
-                imgs_full_tr[sel], renders_up[sel], renders_neg[sel])
-            if step % 50 == 0:
-                print(f"feat-ft step {step} loss={float(ft_l):.4f}",
-                      flush=True)
-        dfvars = {"params": {**frozen, **ft_params},
-                  "batch_stats": dfvars["batch_stats"]}
 
     # ---- DFNet APR trained on the train split ----
     apr = DFNet(output_dim=cfg.feature_dim, dtype=jnp.bfloat16)
@@ -672,7 +713,8 @@ def cmd_accuracy(args):
                 "median_t": float(np.median(e_ver[:, 0])),
                 "median_r": float(np.median(e_ver[:, 1]))}
 
-    configs = [(lr, args.opt_iter, False) for lr in args.refine_lrs]
+    configs = [(lr, args.opt_iter, bool(args.per_pixel))
+               for lr in args.refine_lrs]
     if args.sweep_refine:
         configs += [(2e-6, 150, False),
                     (1e-5, 50, True), (7e-6, 50, True), (5e-6, 50, True),
@@ -1204,9 +1246,9 @@ def main():
     pk.add_argument("--sweep", action="store_true")
     sub.add_parser("mode2")
     pa = sub.add_parser("accuracy")
-    pa.add_argument("--image_h", type=int, default=96)
-    pa.add_argument("--image_w", type=int, default=128)
-    pa.add_argument("--n_train", type=int, default=40)
+    pa.add_argument("--image_h", type=int, default=192)
+    pa.add_argument("--image_w", type=int, default=256)
+    pa.add_argument("--n_train", type=int, default=60)
     pa.add_argument("--epochs_color", type=int, default=120)
     pa.add_argument("--epochs_feat", type=int, default=100)
     pa.add_argument("--epochs_fusion", type=int, default=200)
@@ -1216,20 +1258,28 @@ def main():
     # dm/options.py:31; 1e-4 diverged — verification retreated every
     # frame); the harness reports the best by verified median
     pa.add_argument("--refine_lrs", type=float, nargs="+",
-                    default=[1e-5, 5e-6, 2e-6])
+                    default=[6e-6, 4e-6, 3e-6])
     pa.add_argument("--opt_iter", type=int, default=50)
     pa.add_argument("--n_test", type=int, default=16,
                     help="test frames (r3 used 8; VERDICT asked >=16)")
+    pa.add_argument("--per_pixel", type=int, default=1,
+                    help="per-pixel DFM loss for the main lr sweep "
+                         "(the measured-best family, ACCURACY_r03)")
     pa.add_argument("--sweep_refine", action="store_true")
     pa.add_argument("--sweep_small", action="store_true")
     pa.add_argument("--feat_steps", type=int, default=600)
-    pa.add_argument("--feat_lr", type=float, default=1e-4)
+    pa.add_argument("--feat_lr", type=float, default=5e-5)
+    pa.add_argument("--feat_margin", type=float, default=0.3)
+    pa.add_argument("--feat_train", choices=["all", "adapt"],
+                    default="all",
+                    help="finetune the whole extractor trunk (reference "
+                         "trains all of DFNet) or adapt blocks only")
     pa.add_argument("--neg_scales", type=float, nargs="+",
                     default=[1.0, 0.5],
                     help="pose-perturbation scales for contrastive "
                          "negatives (x APR error scale)")
     pa.add_argument("--mode3_lr_r", type=float, nargs="+",
-                    default=[0.002, 0.004, 0.0087])
+                    default=[0.001, 0.002, 0.004])
     pa.add_argument("--cache", default="",
                     help="pickle path to save/reuse the trained field+APR"
                          " (skips the ~15 min training when it exists)")
