@@ -86,6 +86,11 @@ class Options:
     remat: str = "auto"
     lrate: float = 5e-4
     lrate_decay: float = 0.754
+    # TPU-framework extra (no reference analogue; default off preserves
+    # reference semantics): global-norm gradient clip. Guards the
+    # FusionNet's trailing BatchNorm against early-training spikes that
+    # can knock a conv layer's ReLUs fully dead (see make_optimizer)
+    grad_clip: float = 0.0
     batch_size: int = 4
     # NOTE: the reference's --val_batch_size / --dfnet / --eval flags are
     # not modeled: validation renders per-pose (no DataLoader batching),

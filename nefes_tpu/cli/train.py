@@ -145,7 +145,7 @@ def main(argv=None):
 
     scene = build_scene(opts, train=True)
     cfg, model = build_model(opts)
-    tx = make_optimizer()
+    tx = make_optimizer(grad_clip=opts.grad_clip)
     state = create_train_state(model, jax.random.key(0), tx)
 
     expdir = os.path.join(opts.basedir, opts.expname)

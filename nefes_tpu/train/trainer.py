@@ -132,8 +132,20 @@ class TrainState(struct.PyTreeNode):
         return self.variables["params"]
 
 
-def make_optimizer() -> optax.GradientTransformation:
-    """Adam(β=0.9, 0.999) with injectable LR (nerfh_nff.py:682)."""
+def make_optimizer(grad_clip: float = 0.0) -> optax.GradientTransformation:
+    """Adam(β=0.9, 0.999) with injectable LR (nerfh_nff.py:682).
+
+    grad_clip > 0 prepends global-norm clipping. The reference never
+    clips, so the default is off; it exists because the FusionNet's
+    trailing BatchNorm (nerfh_nff.py:393-394) can amplify early-training
+    gradient spikes enough to knock a whole conv layer's ReLUs dead
+    (measured: a collapsed run leaves batch_stats var ~1e-10 and the
+    fused output pose-independent — zero DFM gradient downstream)."""
+    if grad_clip and grad_clip > 0:
+        def clipped(learning_rate):
+            return optax.chain(optax.clip_by_global_norm(grad_clip),
+                               optax.adam(learning_rate))
+        return optax.inject_hyperparams(clipped)(learning_rate=5e-4)
     return optax.inject_hyperparams(optax.adam)(learning_rate=5e-4)
 
 

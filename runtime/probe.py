@@ -373,7 +373,13 @@ def cmd_accuracy(args):
     cfg = ModelConfig(depth=8, width=128, feature_dim=128,
                       dtype=jnp.bfloat16)    # the paper architecture
     model = NeFeSModel(cfg)
-    tx = make_optimizer()
+    # grad_clip: the r4a/r4b runs collapsed the FusionNet (conv2's ReLUs
+    # 100% dead after stage 2 -> constant fused output -> ZERO DFM
+    # gradient, refinement inert; batch_stats var ~1e-10 is the
+    # fingerprint). The trailing BN amplifies early stage-2 spikes; a
+    # global-norm clip removes the spikes without changing the converged
+    # optimum. The liveness probe below verifies and records the outcome.
+    tx = make_optimizer(grad_clip=args.grad_clip)
     state = create_train_state(model, jax.random.key(0), tx)
     rcfg = cfg.render_config(n_samples=64, n_importance=64)
     hwf = (h, w, float(scene.focal) / TINY)
@@ -442,7 +448,8 @@ def cmd_accuracy(args):
                 dfnet, dfvars, jnp.asarray(scene.images[i:i + 8]), h, w))
             for i in range(0, len(scene.images), 8)])
 
-    if cached is not None and "variables" in cached:
+    if (cached is not None and "variables" in cached
+            and not args.redo_stages):
         state = state.replace(variables=jax.tree.map(
             jnp.asarray, cached["variables"]))
         dfvars = {"params": jax.tree.map(jnp.asarray,
@@ -465,7 +472,13 @@ def cmd_accuracy(args):
                 with open(cache, "wb") as f:
                     pickle.dump({"s0_variables": s0_np}, f)
                 print(f"saved stage-0 field to {cache}", flush=True)
-        if args.feat_steps > 0:
+        if cached is not None and "dfvars_params" in cached:
+            # --redo_stages: reuse the (expensive) finetuned extractor
+            dfvars = {"params": jax.tree.map(jnp.asarray,
+                                             cached["dfvars_params"]),
+                      "batch_stats": dfvars["batch_stats"]}
+            print("finetuned DFNet from cache", flush=True)
+        elif args.feat_steps > 0:
             # ---- DFNet contrastive finetuning on RGB renders: triplet
             # between DFNet(real image) and DFNet(rendered image), BOTH
             # through the trainable extractor (the reference's recipe,
@@ -574,6 +587,65 @@ def cmd_accuracy(args):
                      "train_psnr": train_psnr}, f)
             print(f"saved trained field to {cache}", flush=True)
 
+    # ---- FusionNet liveness probe + collapse guard: the r4a run
+    # trained to a state where conv2's ReLUs were 100% dead (output =
+    # conv3 bias, pose-independent, zero DFM gradient). Measure the
+    # fraction of live activations per conv layer on a real rendered
+    # input; on a fully-dead layer, reinit the fusion subtree and retrain
+    # stage 2 once (continued lr decay => roughly half the lr). ----
+    from nefes_tpu.render.renderer import render_image as _render_image
+
+    def fusion_liveness(variables_probe):
+        i0 = int(train_idx[0])
+        out = _render_image(model.coarse_fn, model.fine_fn,
+                            variables_probe["params"],
+                            variables_probe["params"], h, w, hwf[2],
+                            jnp.asarray(scene.poses[i0]), scene.near,
+                            scene.far, tcfg)
+        rgbf = model.apply_exposure(
+            variables_probe["params"],
+            jnp.asarray(scene.hists[i0])[None],
+            out["rgb"].reshape(1, -1, 3)).reshape(h, w, 3)
+        from nefes_tpu.fields.nerfh_nff import IMAGENET_MEAN, IMAGENET_STD
+        x = jnp.concatenate([
+            (rgbf - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD),
+            out["feat"]], axis=-1)[None].astype(jnp.float32)
+        fp = variables_probe["params"]["fusion"]
+        live = {}
+        for name in ("conv0", "conv1", "conv2"):
+            x = jax.lax.conv_general_dilated(
+                x, jnp.asarray(fp[name]["kernel"], jnp.float32), (1, 1),
+                "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            x = jax.nn.relu(x + jnp.asarray(fp[name]["bias"], jnp.float32))
+            live[name] = float(jnp.mean(x > 0))
+        return live
+
+    live = fusion_liveness(state.variables)
+    fusion_retry = False
+    if any(v == 0.0 for v in live.values()):
+        fusion_retry = True
+        print(f"FUSION COLLAPSE detected (liveness {live}); reinit "
+              "fusion + one stage-2 retrain", flush=True)
+        fresh = model.init_variables(jax.random.key(17))
+        p = dict(state.variables["params"]); p["fusion"] = fresh["params"]["fusion"]
+        bs = dict(state.variables.get("batch_stats", {}))
+        bs["fusion"] = fresh["batch_stats"]["fusion"]
+        state = state.replace(variables={"params": p, "batch_stats": bs})
+        state = state.replace(opt_state=tx.init(state.params))
+        retry_ep = args.epochs_color + args.epochs_feat + args.epochs_fusion
+        state, rng, aux2, _ = run_stages(
+            state, rng, ((2, args.epochs_fusion),), retry_ep, feats)
+        train_psnr = float(aux2["psnr"])
+        live = fusion_liveness(state.variables)
+        if cache:
+            with open(cache, "wb") as f:
+                pickle.dump(
+                    {"variables": jax.tree.map(np.asarray, state.variables),
+                     "dfvars_params": jax.tree.map(np.asarray,
+                                                   dfvars["params"]),
+                     "train_psnr": train_psnr}, f)
+    print(f"fusion liveness: {live}", flush=True)
+
     # ---- fusion-vs-no-fusion feature quality on TEST views ----
     cos_fused, cos_raw = [], []
     for i in test_idx:
@@ -642,6 +714,20 @@ def cmd_accuracy(args):
     targets = jax.lax.stop_gradient(extract_target_features(
         dfnet, dfvars, test_imgs, HH, WW))
 
+    # f32 refinement modules, defined BEFORE the landscape diagnostic so
+    # it measures the landscape the refiner actually descends: the
+    # refinement runs f32 end to end (the reference pins f32 for the
+    # refinement forward, DFM_pose_refine.py:131 — against a shallow DFM
+    # basin, bf16 loss noise is material; the r4a bf16 diagnostic
+    # quantized sub-cm pose differences to BIT-IDENTICAL renders). The
+    # trained f32 params apply unchanged under f32 modules.
+    from dataclasses import replace as dc_replace
+    model_r = NeFeSModel(dc_replace(cfg, dtype=jnp.float32))
+    apr_r = DFNet(output_dim=cfg.feature_dim, dtype=jnp.float32)
+    tcfg_r = model_r.cfg.render_config(
+        n_samples=64, n_importance=64, output_transient=False,
+        perturb=False).test()
+
     # DFM landscape diagnostic: the refiner can only work if the loss it
     # descends is lower at the GT pose than at the APR estimate. Report
     # the median loss at both poses, fused and raw — separates "field/
@@ -652,11 +738,11 @@ def cmd_accuracy(args):
 
     def dfm_losses_at(pose34, i):
         rgb_img, fused = render_feature_image(
-            model, state.variables, jnp.asarray(pose34), test_hists[i],
-            hwf, scene.near, scene.far, tcfg)
-        raw = _ri(model.coarse_fn, model.fine_fn, state.params,
+            model_r, state.variables, jnp.asarray(pose34), test_hists[i],
+            hwf, scene.near, scene.far, tcfg_r)
+        raw = _ri(model_r.coarse_fn, model_r.fine_fn, state.params,
                   state.params, h, w, hwf[2], jnp.asarray(pose34),
-                  scene.near, scene.far, tcfg)["feat"]
+                  scene.near, scene.far, tcfg_r)["feat"]
         out = []
         for f in (fused, raw):
             up = resize_bicubic(f[None], HH, WW)[0]
@@ -682,17 +768,6 @@ def cmd_accuracy(args):
     print("DFM landscape:", json.dumps(landscape), flush=True)
     ws_vec = jnp.asarray([1.0, 1.0, 0.0, 0.0, 0.0])
     gt = scene.poses[test_idx]
-
-    # refinement runs in f32 end to end (the reference pins f32 for the
-    # refinement forward, DFM_pose_refine.py:131 — against a shallow DFM
-    # basin, bf16 loss noise is material); the trained f32 params apply
-    # unchanged under f32 modules
-    from dataclasses import replace as dc_replace
-    model_r = NeFeSModel(dc_replace(cfg, dtype=jnp.float32))
-    apr_r = DFNet(output_dim=cfg.feature_dim, dtype=jnp.float32)
-    tcfg_r = model_r.cfg.render_config(
-        n_samples=64, n_importance=64, output_transient=False,
-        perturb=False).test()
 
     def run_refine(lr, iters, per_pixel=False):
         rfc = RefineConfig(opt_iter=iters, learning_rate=lr,
@@ -836,6 +911,9 @@ def cmd_accuracy(args):
             / max(landscape["dfm_loss_at_init_fused"], 1e-9), 2),
         **mode3,
         **landscape,
+        "fusion_liveness": live,
+        "fusion_collapse_retry": fusion_retry,
+        "grad_clip": args.grad_clip,
         "wall_s": round(time.time() - t_start, 1),
         "device": str(jax.devices()[0]),
     }
@@ -1283,6 +1361,14 @@ def main():
     pa.add_argument("--cache", default="",
                     help="pickle path to save/reuse the trained field+APR"
                          " (skips the ~15 min training when it exists)")
+    pa.add_argument("--grad_clip", type=float, default=1.0,
+                    help="global-norm clip for field/fusion training "
+                         "(0 = off; guards the FusionNet trailing-BN "
+                         "collapse, see make_optimizer)")
+    pa.add_argument("--redo_stages", action="store_true",
+                    help="ignore the cache's final variables but reuse "
+                         "its stage-0 field and finetuned DFNet; rerun "
+                         "stages 1-2 (for retraining after a collapse)")
     pa.add_argument("--out", default="ACCURACY_r04.json")
     args = p.parse_args()
     {"perf": cmd_perf, "kernel": cmd_kernel, "mode2": cmd_mode2,

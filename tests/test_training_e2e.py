@@ -111,6 +111,34 @@ def test_masked_ray_selection(scene, setup):
     assert np.all(np.asarray(px) < scene.W // 2)
 
 
+def test_grad_clip_optimizer(scene, setup):
+    """make_optimizer(grad_clip>0): same lr-injection protocol as the
+    default, updates bounded by the clip, and a train step runs through
+    it (guards the FusionNet trailing-BN collapse — see make_optimizer)."""
+    import optax
+    from nefes_tpu.train.trainer import make_optimizer
+
+    tx = make_optimizer(grad_clip=1.0)
+    p = {"w": jnp.ones(4)}
+    st = tx.init(p)
+    st.hyperparams["learning_rate"] = 1e-2   # the train steps' protocol
+    big = {"w": jnp.full(4, 1e6)}
+    up, _ = tx.update(big, st, p)
+    # Adam normalizes magnitude; clip must not break the step or sign
+    assert np.all(np.isfinite(np.asarray(up["w"])))
+    assert np.all(np.asarray(up["w"]) < 0)
+
+    model, _, _, rcfg = setup
+    txc = make_optimizer(grad_clip=0.5)
+    state = create_train_state(model, jax.random.key(0), txc)
+    hwf = (scene.H, scene.W, scene.focal)
+    batch = _batch(scene, np.arange(4))
+    state, loss, aux = train_step_rays(
+        model, rcfg, txc, state, batch, jax.random.key(1),
+        jnp.asarray(1e-3), hwf, scene.near, scene.far, n_rand=64, stage=0)
+    assert np.isfinite(float(loss))
+
+
 def test_schedule_and_lr():
     assert stage_for_epoch(1, 0) == 0
     assert stage_for_epoch(1, 599) == 0
