@@ -594,6 +594,7 @@ def cmd_accuracy(args):
     # input; on a fully-dead layer, reinit the fusion subtree and retrain
     # stage 2 once (continued lr decay => roughly half the lr). ----
     from nefes_tpu.render.renderer import render_image as _render_image
+    from nefes_tpu.train.diagnostics import fusion_conv_liveness
 
     def fusion_liveness(variables_probe):
         i0 = int(train_idx[0])
@@ -606,23 +607,14 @@ def cmd_accuracy(args):
             variables_probe["params"],
             jnp.asarray(scene.hists[i0])[None],
             out["rgb"].reshape(1, -1, 3)).reshape(h, w, 3)
-        from nefes_tpu.fields.nerfh_nff import IMAGENET_MEAN, IMAGENET_STD
-        x = jnp.concatenate([
-            (rgbf - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD),
-            out["feat"]], axis=-1)[None].astype(jnp.float32)
-        fp = variables_probe["params"]["fusion"]
-        live = {}
-        for name in ("conv0", "conv1", "conv2"):
-            x = jax.lax.conv_general_dilated(
-                x, jnp.asarray(fp[name]["kernel"], jnp.float32), (1, 1),
-                "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            x = jax.nn.relu(x + jnp.asarray(fp[name]["bias"], jnp.float32))
-            live[name] = float(jnp.mean(x > 0))
-        return live
+        return fusion_conv_liveness(variables_probe["params"]["fusion"],
+                                    rgbf, out["feat"])
 
     live = fusion_liveness(state.variables)
     fusion_retry = False
-    if any(v == 0.0 for v in live.values()):
+    # <1% live = effectively collapsed (the observed real collapse is
+    # exactly 0.0 on the render manifold, ~2% on random noise)
+    if any(v < 0.01 for v in live.values()):
         fusion_retry = True
         print(f"FUSION COLLAPSE detected (liveness {live}); reinit "
               "fusion + one stage-2 retrain", flush=True)
