@@ -411,6 +411,7 @@ def main():
         row("training throughput", "train_rays_per_sec", unit="rays/s",
             fmt="{:.0f}"),
         row("mode-2 bf16 MFU", "mode2_bf16_mfu", unit="", fmt="{:.3f}"),
+        "<!-- /bench-table -->",
     ]))
 
     result = {

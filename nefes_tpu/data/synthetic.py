@@ -26,8 +26,17 @@ _BLOBS = np.array([  # (x, y, z, radius, r, g, b)
 
 
 def blob_field(params, xyz_emb, dir_emb=None, sigma_only=False,
-               output_transient=False):
-    """Analytic soft-blob field usable as a renderer FieldFn."""
+               output_transient=False, texture_amp: float = 0.0):
+    """Analytic soft-blob field usable as a renderer FieldFn.
+
+    texture_amp > 0 modulates the albedo with a band-limited procedural
+    pattern (wavelengths ~0.2-0.5 world units, several pixels at the
+    test camera geometry). Flat-shaded blobs give a VGG feature
+    extractor almost nothing spatially — features go near-constant per
+    region, which makes a constant FusionNet output a strong local
+    optimum of the L1 fusion loss and leaves the DFM landscape flat.
+    Real scenes (the reference's operating regime) are texture-rich;
+    this keeps the synthetic stand-in in that regime."""
     xyz = xyz_emb[..., :3]
     blobs = jnp.asarray(_BLOBS)
     d = jnp.linalg.norm(xyz[..., None, :] - blobs[None, :, :3], axis=-1)
@@ -38,6 +47,13 @@ def blob_field(params, xyz_emb, dir_emb=None, sigma_only=False,
         return out
     w = occ / jnp.clip(occ.sum(-1, keepdims=True), 1e-6)
     rgb = (w[..., None] * blobs[:, 4:7]).sum(-2)
+    if texture_amp > 0.0:
+        x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+        tex = (0.55 * jnp.sin(13.0 * x + 2.0 * jnp.sin(5.0 * y))
+               * jnp.sin(17.0 * y + 1.3)
+               + 0.45 * jnp.sin(23.0 * z + 3.0 * jnp.sin(7.0 * x))
+               * jnp.sin(29.0 * (x + y) + 0.7))
+        rgb = rgb * (1.0 - texture_amp * 0.5 * (1.0 + tex[..., None]))
     out["static_rgb"] = rgb
     # synthetic "feature": 8-D positional signature with both smooth and
     # high-frequency components (the sharper bands give DFM refinement a
@@ -63,8 +79,10 @@ def look_at_pose(eye: np.ndarray, target: np.ndarray = np.zeros(3),
 def make_synthetic_scene(n_views: int = 12, H: int = 24, W: int = 32,
                          focal: float = 30.0, radius: float = 2.5,
                          near: float = 0.5, far: float = 5.0,
-                         seed: int = 0) -> SceneData:
-    """Cameras on a jittered circle, GT images rendered from blob_field."""
+                         seed: int = 0,
+                         texture_amp: float = 0.0) -> SceneData:
+    """Cameras on a jittered circle, GT images rendered from blob_field
+    (texture_amp > 0 => procedurally textured albedo, see blob_field)."""
     rng = np.random.default_rng(seed)
     poses = []
     for i in range(n_views):
@@ -79,9 +97,12 @@ def make_synthetic_scene(n_views: int = 12, H: int = 24, W: int = 32,
                        output_transient=False, test_time=True,
                        xyz_embed=EmbedConfig(num_freqs=1),
                        dir_embed=EmbedConfig(num_freqs=1))
+    from functools import partial
+    field = (partial(blob_field, texture_amp=texture_amp)
+             if texture_amp > 0.0 else blob_field)
     imgs = []
     for p in poses:
-        out = render_image(blob_field, None, None, None, H, W, focal,
+        out = render_image(field, None, None, None, H, W, focal,
                            jnp.asarray(p), near, far, cfg)
         imgs.append(np.asarray(out["rgb"]))
     images = np.clip(np.stack(imgs), 0.0, 1.0)

@@ -363,8 +363,14 @@ def cmd_accuracy(args):
             cached = pickle.load(f)
         print(f"loaded trained state from {cache}", flush=True)
 
+    # texture_amp: flat-shaded blobs leave VGG features near-constant per
+    # region — a constant FusionNet output then minimizes the L1 fusion
+    # loss (the collapse the liveness guard below detects) and the DFM
+    # landscape stays flat. Textured albedo puts the synthetic scene in
+    # the texture-rich regime the reference actually operates in.
     scene = make_synthetic_scene(n_views=N_TRAIN + N_TEST, H=HH, W=WW,
-                                 focal=1.15 * WW)
+                                 focal=1.15 * WW,
+                                 texture_amp=args.texture_amp)
     idx = np.arange(N_TRAIN + N_TEST)
     step = (N_TRAIN + N_TEST) // N_TEST
     test_idx = idx[2::step][:N_TEST]
@@ -906,6 +912,7 @@ def cmd_accuracy(args):
         "fusion_liveness": live,
         "fusion_collapse_retry": fusion_retry,
         "grad_clip": args.grad_clip,
+        "texture_amp": args.texture_amp,
         "wall_s": round(time.time() - t_start, 1),
         "device": str(jax.devices()[0]),
     }
@@ -1353,6 +1360,11 @@ def main():
     pa.add_argument("--cache", default="",
                     help="pickle path to save/reuse the trained field+APR"
                          " (skips the ~15 min training when it exists)")
+    pa.add_argument("--texture_amp", type=float, default=0.6,
+                    help="procedural albedo texture amplitude for the "
+                         "synthetic scene (0 = the flat-shaded blobs, "
+                         "which leave VGG features too unstructured for "
+                         "the fusion/DFM stack — see data/synthetic.py)")
     pa.add_argument("--grad_clip", type=float, default=1.0,
                     help="global-norm clip for field/fusion training "
                          "(0 = off; guards the FusionNet trailing-BN "
