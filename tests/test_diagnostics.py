@@ -21,6 +21,24 @@ def _init(key=0, f_dim=8):
     return fus, v
 
 
+def test_textured_scene_has_interior_structure():
+    """texture_amp>0 must add real image-space structure INSIDE blob
+    regions (what gives VGG features spatial contrast — the flat scene's
+    lack of it is what made the constant fusion output optimal), while
+    texture_amp=0 stays bit-identical to the historical GT."""
+    from nefes_tpu.data.synthetic import make_synthetic_scene
+    kw = dict(n_views=1, H=48, W=64, focal=73.6)
+    flat = make_synthetic_scene(**kw)
+    tex = make_synthetic_scene(texture_amp=0.6, **kw)
+    assert np.array_equal(flat.images,
+                          make_synthetic_scene(texture_amp=0.0, **kw).images)
+    # central-blob interior crop: mean |horizontal gradient|
+    def interior_grad(s):
+        c = s.images[0][15:33, 22:42].mean(-1)
+        return float(np.abs(np.diff(c, axis=1)).mean())
+    assert interior_grad(tex) > 3.0 * interior_grad(flat)
+
+
 def test_healthy_init_is_live():
     fus, v = _init()
     rgb = jax.random.uniform(jax.random.key(1), (12, 16, 3))
