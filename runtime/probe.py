@@ -693,16 +693,28 @@ def cmd_accuracy(args):
         up, opt = apr_tx.update(g, opt, p)
         return optax.apply_updates(p, up), opt, l
 
-    apr_params = apr_vars["params"]
-    tr = jnp.asarray(train_idx)
-    for step in range(args.apr_steps):
-        rng, k = jax.random.split(rng)
-        sel = jax.random.choice(k, tr, (8,), replace=False)
-        apr_params, apr_opt, apr_loss = apr_step(apr_params, apr_opt,
-                                                 sel, k)
-        if step % 100 == 0:
-            print(f"apr step {step} loss={float(apr_loss):.5f}",
-                  flush=True)
+    if (cached is not None and "apr_params" in cached
+            and not args.redo_apr):
+        apr_params = jax.tree.map(jnp.asarray, cached["apr_params"])
+        print("APR from cache", flush=True)
+    else:
+        apr_params = apr_vars["params"]
+        tr = jnp.asarray(train_idx)
+        for step in range(args.apr_steps):
+            rng, k = jax.random.split(rng)
+            sel = jax.random.choice(k, tr, (8,), replace=False)
+            apr_params, apr_opt, apr_loss = apr_step(apr_params, apr_opt,
+                                                     sel, k)
+            if step % 100 == 0:
+                print(f"apr step {step} loss={float(apr_loss):.5f}",
+                      flush=True)
+        if cache and os.path.exists(cache):
+            with open(cache, "rb") as f:
+                cdict = pickle.load(f)
+            cdict["apr_params"] = jax.tree.map(np.asarray, apr_params)
+            with open(cache, "wb") as f:
+                pickle.dump(cdict, f)
+            print(f"saved APR to {cache}", flush=True)
     apr_vars = {"params": apr_params,
                 "batch_stats": apr_vars["batch_stats"]}
 
@@ -762,6 +774,14 @@ def cmd_accuracy(args):
         "dfm_loss_at_gt_fused": float(np.median(at_gt[:, 0])),
         "dfm_loss_at_init_raw": float(np.median(at_init[:, 1])),
         "dfm_loss_at_gt_raw": float(np.median(at_gt[:, 1])),
+        # per-frame basin check: a median relief can hide frames whose
+        # DFM loss is LOWER at the APR pose than at GT (descending the
+        # loss then provably moves those frames away from GT — an
+        # optimizer can't fix that)
+        "frames_gt_lower_fused_frac": float(
+            np.mean(at_gt[:, 0] < at_init[:, 0])),
+        "frames_gt_lower_raw_frac": float(
+            np.mean(at_gt[:, 1] < at_init[:, 1])),
     }
     print("DFM landscape:", json.dumps(landscape), flush=True)
     ws_vec = jnp.asarray([1.0, 1.0, 0.0, 0.0, 0.0])
@@ -788,6 +808,9 @@ def cmd_accuracy(args):
 
     configs = [(lr, args.opt_iter, bool(args.per_pixel))
                for lr in args.refine_lrs]
+    if args.sweep_pp:
+        configs += [(lr, args.opt_iter, not bool(args.per_pixel))
+                    for lr in args.refine_lrs]
     if args.sweep_refine:
         configs += [(2e-6, 150, False),
                     (1e-5, 50, True), (7e-6, 50, True), (5e-6, 50, True),
@@ -838,20 +861,25 @@ def cmd_accuracy(args):
     # balances both errors via the summed relative improvement
     m3_runs = []
     for lr_r in args.mode3_lr_r:
-        m3_out, _ = refine_poses_batch(
-            model_r, state.variables, jnp.asarray(np.stack(apr_poses0)),
-            targets_rs, test_hists, scene.world, hwf, tcfg_r,
-            RefineConfig(opt_iter=args.opt_iter, lr_r=lr_r, lr_t=0.01,
-                         per_pixel=best["per_pixel"]))
-        e = pose_errors(np.asarray(m3_out), gt)
-        m3_runs.append({
-            "lr_r": lr_r,
-            "median_t_m": float(np.median(e[:, 0])),
-            "median_r_deg": float(np.median(e[:, 1])),
-            "improved_t_frac": float(np.mean(e[:, 0] < err_m3_init[:, 0])),
-            "improved_r_frac": float(np.mean(e[:, 1] < err_m3_init[:, 1])),
-        })
-        print(f"mode-3 lr_r={lr_r}: {m3_runs[-1]}", flush=True)
+        for lr_t in args.mode3_lr_t:
+            m3_out, _ = refine_poses_batch(
+                model_r, state.variables,
+                jnp.asarray(np.stack(apr_poses0)),
+                targets_rs, test_hists, scene.world, hwf, tcfg_r,
+                RefineConfig(opt_iter=args.opt_iter, lr_r=lr_r, lr_t=lr_t,
+                             per_pixel=best["per_pixel"]))
+            e = pose_errors(np.asarray(m3_out), gt)
+            m3_runs.append({
+                "lr_r": lr_r, "lr_t": lr_t,
+                "median_t_m": float(np.median(e[:, 0])),
+                "median_r_deg": float(np.median(e[:, 1])),
+                "improved_t_frac": float(
+                    np.mean(e[:, 0] < err_m3_init[:, 0])),
+                "improved_r_frac": float(
+                    np.mean(e[:, 1] < err_m3_init[:, 1])),
+            })
+            print(f"mode-3 lr_r={lr_r} lr_t={lr_t}: {m3_runs[-1]}",
+                  flush=True)
     t0m, r0m = (float(np.median(err_m3_init[:, 0])),
                 float(np.median(err_m3_init[:, 1])))
     best_m3 = max(m3_runs, key=lambda r: (t0m - r["median_t_m"]) / t0m
@@ -864,6 +892,7 @@ def cmd_accuracy(args):
         "mode3_improved_frames_frac": best_m3["improved_t_frac"],
         "mode3_improved_rot_frames_frac": best_m3["improved_r_frac"],
         "mode3_lr_r": best_m3["lr_r"],
+        "mode3_lr_t": best_m3["lr_t"],
         "mode3_lr_r_sweep": m3_runs,
         "mode3_note": (
             "lr_r swept; best by summed relative (t, r) improvement. "
@@ -1357,6 +1386,18 @@ def main():
                          "negatives (x APR error scale)")
     pa.add_argument("--mode3_lr_r", type=float, nargs="+",
                     default=[0.001, 0.002, 0.004])
+    pa.add_argument("--mode3_lr_t", type=float, nargs="+",
+                    default=[0.01],
+                    help="mode-3 translation Adam lr sweep (reference "
+                         "7Scenes sh: 0.01; Adam's sign-like steps make "
+                         "the final iterate oscillate with amplitude "
+                         "~lr_t*sqrt(iters) around the basin floor, so "
+                         "lr_t must scale with the INITIAL error)")
+    pa.add_argument("--sweep_pp", action="store_true",
+                    help="also run the refine_lrs with the opposite "
+                         "per_pixel setting")
+    pa.add_argument("--redo_apr", action="store_true",
+                    help="retrain the APR even if the cache has one")
     pa.add_argument("--cache", default="",
                     help="pickle path to save/reuse the trained field+APR"
                          " (skips the ~15 min training when it exists)")
