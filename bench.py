@@ -274,10 +274,15 @@ def main():
         print(f"[bench] batched mode-2 failed: {e}")
         extra["mode2_batched4_s_per_frame"] = None
 
-    # ---------------- mode 3 BATCHED (genuine amortization) --------------
+    # ---------------- mode 3 BATCHED ----------------
     # mode 3's per-frame state is just (r, t) + Adam moments — vmapping
     # frames adds MXU work without the mode-2 param-copy traffic, so
-    # batching SHOULD win here; measured per-frame number on record
+    # batching could plausibly win. MEASURED (r4, v5e): it does NOT —
+    # 1.07 s/frame at B=4 vs 0.98 serial. The scan is matmul-issue-bound
+    # (KERNEL_r04), so 4x the samples per launch just runs ~4x as long,
+    # and the 4x (R, S, N) sampling tensors push past the point where
+    # XLA's scheduling stays tight. Serial-with-prefetch is the shipped
+    # optimum for BOTH modes; the number is re-measured every run.
     def mode3_batched(geom_key, B=4):
         from nefes_tpu.refine import refine_poses_batch
         from nefes_tpu.geometry.transforms import WorldSetup
