@@ -124,17 +124,25 @@ def weight_names(spec: FieldSpec) -> list[str]:
     return names
 
 
-def pack_params(tower_params: dict, spec: FieldSpec) -> tuple:
+def pack_params(tower_params: dict, spec: FieldSpec,
+                pre_embedded: bool = False) -> tuple:
     """flax NeRFHNFF param dict -> ordered tuple of kernel weight arrays.
 
     Kernels are flax (in, out); rows of embedding-consuming kernels are
     permuted via _emb_perm; concat-input kernels are split into their
     row blocks. Matmul weights cast to spec.dtype, biases stay f32
     (added post-accumulation).
+
+    pre_embedded=True keeps the reference row order (no _emb_perm): the
+    pre-embedded kernel variant consumes XLA-computed embeddings, which
+    already arrive in the reference layout (fields/embedder.py).
     """
     dt = jnp.dtype(spec.dtype)
-    px = _emb_perm(spec.n_freqs_xyz)
-    pd = _emb_perm(spec.n_freqs_dir)
+    ident = np.arange
+    px = (ident(3 + 6 * spec.n_freqs_xyz) if pre_embedded
+          else _emb_perm(spec.n_freqs_xyz))
+    pd = (ident(3 + 6 * spec.n_freqs_dir) if pre_embedded
+          else _emb_perm(spec.n_freqs_dir))
     E, W, H = spec.emb_xyz, spec.width, spec.half
 
     def k(name):
@@ -226,19 +234,36 @@ def _embed_block(x, n_freqs, cd):
 
 
 def _forward_tile(spec: FieldSpec, mode: str, w, pts, dirs):
-    """Shared forward trace over one tile. w: dict name->ref (or value).
+    """Shared forward trace over one tile (raw pts/dirs: in-kernel embed).
 
     Returns (outputs dict, activations dict) — activations only consumed by
     the backward kernel (they are in-register values, never written out by
     the forward pallas_call).
     """
     cd = jnp.dtype(spec.dtype)
-    acts = {}
 
     x = pts.astype(jnp.float32)
     emb, xs = _embed_block(x, spec.n_freqs_xyz, cd)
+    embd = ds = None
+    if mode != "sigma":
+        d = dirs.astype(jnp.float32)
+        embd, ds = _embed_block(d, spec.n_freqs_dir, cd)
+    out, acts = _tower_tile(spec, mode, w, emb, embd)
     acts["xs"] = xs
-    acts["emb"] = emb
+    if ds is not None:
+        acts["ds"] = ds
+    return out, acts
+
+
+def _tower_tile(spec: FieldSpec, mode: str, w, emb, embd):
+    """MLP tower + heads over one tile of pre-embedded inputs.
+
+    emb (T, emb_xyz) / embd (T, emb_dir) in the pack dtype. Shared by the
+    raw-input kernels (fed from _embed_block) and the pre-embedded kernels
+    (fed from refs written by XLA's embed fusion).
+    """
+    cd = jnp.dtype(spec.dtype)
+    acts = {"emb": emb}
 
     # Hidden layers accumulate in the pack dtype (MXU still sums f32
     # internally and rounds on output): bias-add + relu stay bf16 — the
@@ -266,9 +291,6 @@ def _forward_tile(spec: FieldSpec, mode: str, w, pts, dirs):
 
     final = _mm(h, w["fin_w"], prefer=cd) + w["fin_b"][:].astype(cd)
     acts["final"] = final
-    d = dirs.astype(jnp.float32)
-    embd, ds = _embed_block(d, spec.n_freqs_dir, cd)
-    acts["ds"] = ds
     acts["embd"] = embd
 
     zd = (_mm(final, w["dir_wh"], prefer=cd)
@@ -345,12 +367,107 @@ def _bwd_kernel(spec, mode, need_dw, names, refs):
         d_dirs_ref[:] = jnp.zeros_like(d_dirs_ref)
 
 
-def _mlp_backward(spec, mode, need_dw, w, a, cts, dw):
+def _out_names_pre(mode: str) -> list[str]:
+    """The pre-embedded kernels emit SPLIT heads (exactly the flax head
+    tensors) so no (N, 131)/(N, 5) HBM-level slices or concats appear at
+    the kernel boundary — the r4 fused_pre profile showed those slices and
+    their layout copies costing ~4 ms/iter."""
+    return {"sigma": ["sigma"],
+            "full": ["sigma", "rgb", "feat"],
+            "transient": ["sigma", "rgb", "feat",
+                          "tsig", "trgb", "tbeta"]}[mode]
+
+
+def _out_dims_pre(spec: FieldSpec) -> dict:
+    return {"sigma": 1, "rgb": 3, "feat": spec.feature_dim,
+            "tsig": 1, "trgb": 3, "tbeta": 1}
+
+
+def _split_heads(spec, mode, out):
+    """Kernel-internal (VMEM, per-tile) split of the fused head tensors
+    into the flax-shaped outputs."""
+    named = {"sigma": out["sigma"]}
+    if mode != "sigma":
+        rf = out["rgbfeat"]
+        named["rgb"] = rf[:, :3]
+        named["feat"] = rf[:, 3:]
+    if mode == "transient":
+        tr = out["transient"]
+        named["tsig"] = tr[:, 0:1]
+        named["trgb"] = tr[:, 1:4]
+        named["tbeta"] = tr[:, 4:5]
+    return named
+
+
+def _fwd_kernel_pre(spec, mode, names, refs):
+    """Pre-embedded forward: refs start with emb (T, E) [, embd (T, Ed)].
+    Outputs are written in the PACK dtype (bf16 on device — matching the
+    flax head_dtype the unfused scan runs with; f32 outputs doubled the
+    composite's read traffic and spawned convert fusions downstream)."""
+    cd = jnp.dtype(spec.dtype)
+    off = 1 if mode == "sigma" else 2
+    emb = refs[0][:].astype(cd)
+    embd = None if mode == "sigma" else refs[1][:].astype(cd)
+    w = dict(zip(names, refs[off:off + len(names)]))
+    outs = refs[off + len(names):]
+    out, _ = _tower_tile(spec, mode, w, emb, embd)
+    named = _split_heads(spec, mode, out)
+    for ref, name in zip(outs, _out_names_pre(mode)):
+        ref[:] = named[name].astype(ref.dtype)
+
+
+def _bwd_kernel_pre(spec, mode, need_dw, names, refs):
+    """Pre-embedded backward: recompute the tower (NO trig — the whole
+    point: the raw-input backward spends most of its time on narrow-lane
+    in-kernel sin/cos; here the embedding and its chain rule live in XLA's
+    wide fusions), then backprop to (d_emb [, d_embd] [, dW...]).
+
+    Split-head cotangents are reassembled per tile in VMEM; d_emb/d_embd
+    are written directly in the embedding's dtype (no XLA convert pass)."""
+    cd = jnp.dtype(spec.dtype)
+    onames = _out_names_pre(mode)
+    n_w = len(names)
+    off = 1 if mode == "sigma" else 2
+    emb = refs[0][:].astype(cd)
+    embd = None if mode == "sigma" else refs[1][:].astype(cd)
+    w = dict(zip(names, refs[off:off + n_w]))
+    g = dict(zip(onames, refs[off + n_w:off + n_w + len(onames)]))
+    outs = refs[off + n_w + len(onames):]
+    d_emb_ref = outs[0]
+    d_embd_ref = None if mode == "sigma" else outs[1]
+    dw = dict(zip(names, outs[off:])) if need_dw else {}
+
+    if need_dw:
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            for r in dw.values():
+                r[:] = jnp.zeros_like(r)
+
+    _, a = _tower_tile(spec, mode, w, emb, embd)
+    cts = {"sigma": g["sigma"][:].astype(jnp.float32)}
+    if mode != "sigma":
+        cts["rgbfeat"] = jnp.concatenate(
+            [g["rgb"][:], g["feat"][:]], axis=1).astype(jnp.float32)
+    if mode == "transient":
+        cts["transient"] = jnp.concatenate(
+            [g["tsig"][:], g["trgb"][:], g["tbeta"][:]],
+            axis=1).astype(jnp.float32)
+    d_emb, d_embd = _mlp_backward(spec, mode, need_dw, w, a, cts, dw,
+                                  pre=True)
+    d_emb_ref[:] = d_emb.astype(d_emb_ref.dtype)
+    if d_embd_ref is not None:
+        d_embd_ref[:] = d_embd.astype(d_embd_ref.dtype)
+
+
+def _mlp_backward(spec, mode, need_dw, w, a, cts, dw, pre: bool = False):
     """Backprop the MLP tower given head cotangents (values, not refs):
     cts['sigma'] (T, 1) on the softplus OUTPUT, cts['rgbfeat'] (T, 131),
     cts['transient'] (T, 5). Accumulates into dw refs when need_dw.
-    Returns (d_pts (T, 3) f32, d_dirs (T, 3) f32 | None). Shared by the
-    plain field backward and the composite-fused render backward."""
+    Returns (d_pts (T, 3) f32, d_dirs (T, 3) f32 | None) — or, with
+    pre=True, the embedding cotangents (d_emb (T, E) f32, d_embd (T, Ed)
+    f32 | None) with the trig chain rule left to XLA (the pre-embedded
+    kernels). Shared by the plain field backward, the pre-embedded
+    backward and the composite-fused render backward."""
     cd = jnp.dtype(spec.dtype)
 
     def acc(name, val):
@@ -441,6 +558,9 @@ def _mlp_backward(spec, mode, need_dw, w, a, cts, dw):
                             dw[f"l{i}_we"].dtype)
                 d_emb = d_emb + _mm_t(dz.astype(cd),
                                       w[f"l{i}_we"]).astype(jnp.float32)
+
+    if pre:
+        return d_emb, d_embd
 
     # ---- embedding chain rule: d_emb -> d_pts (elementwise f32; see
     # _embed_block for why no MXU here) ----
@@ -563,6 +683,193 @@ def make_fused_field(spec: FieldSpec, mode: str, need_dw: bool = True,
     return fused
 
 
+def _run_fwd_pre(spec, mode, interpret, weights, emb, embd):
+    n = emb.shape[0]
+    t = spec.tile
+    names = weight_names(spec)
+    dims = _out_dims_pre(spec)
+    onames = _out_names_pre(mode)
+    cd = jnp.dtype(spec.dtype)
+    in_specs = [_tile_spec(t, spec.emb_xyz)]
+    ops = [emb]
+    if mode != "sigma":
+        in_specs.append(_tile_spec(t, spec.emb_dir))
+        ops.append(embd)
+    fn = pl.pallas_call(
+        lambda *refs: _fwd_kernel_pre(spec, mode, names, refs),
+        grid=(n // t,),
+        in_specs=in_specs + [_const_spec(w.shape) for w in weights],
+        out_specs=[_tile_spec(t, dims[o]) for o in onames],
+        out_shape=[jax.ShapeDtypeStruct((n, dims[o]), cd)
+                   for o in onames],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )
+    return tuple(fn(*ops, *weights))
+
+
+def _run_bwd_pre(spec, mode, need_dw, interpret, weights, emb, embd, cts):
+    n = emb.shape[0]
+    t = min(spec.tile, 512)
+    names = weight_names(spec)
+    dims = _out_dims_pre(spec)
+    onames = _out_names_pre(mode)
+    in_specs = [_tile_spec(t, spec.emb_xyz)]
+    ops = [emb]
+    out_shape = [jax.ShapeDtypeStruct((n, spec.emb_xyz), emb.dtype)]
+    out_specs = [_tile_spec(t, spec.emb_xyz)]
+    if mode != "sigma":
+        in_specs.append(_tile_spec(t, spec.emb_dir))
+        ops.append(embd)
+        out_shape.append(jax.ShapeDtypeStruct((n, spec.emb_dir),
+                                              embd.dtype))
+        out_specs.append(_tile_spec(t, spec.emb_dir))
+    if need_dw:
+        for w in weights:
+            out_shape.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+            out_specs.append(_const_spec(w.shape))
+    fn = pl.pallas_call(
+        lambda *refs: _bwd_kernel_pre(spec, mode, need_dw, names, refs),
+        grid=(n // t,),
+        in_specs=in_specs + [_const_spec(w.shape) for w in weights]
+                 + [_tile_spec(t, dims[o]) for o in onames],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )
+    return fn(*ops, *weights, *cts)
+
+
+@functools.lru_cache(maxsize=None)
+def make_fused_field_pre(spec: FieldSpec, mode: str, need_dw: bool = True,
+                         interpret: bool = False):
+    """Pre-embedded fused tower: fused(weights, emb (N, E) [, embd
+    (N, Ed)]) -> head tuple. XLA computes the frequency embeddings (and
+    their trig backward) in its wide elementwise fusions; the kernel runs
+    only the matmul tower + heads. This keeps the custom-VJP fwd kernel
+    cheap enough that value_and_grad (which must run BOTH the fwd kernel
+    and the recompute-backward kernel — they cannot share activations
+    across pallas_call boundaries) still beats the unfused XLA program;
+    the raw-input kernel pays its in-kernel trig twice and loses there
+    (the r4 in-scan A/B, KERNEL_r04.json)."""
+
+    cd = jnp.dtype(spec.dtype)
+
+    if mode == "sigma":
+
+        @jax.custom_vjp
+        def fused(weights, emb):
+            return _run_fwd_pre(spec, mode, interpret, weights, emb, None)
+
+        def fwd(weights, emb):
+            return fused(weights, emb), (weights, emb)
+
+        def bwd(res, g):
+            weights, emb = res
+            cts = tuple(jnp.asarray(gi, cd) for gi in g)
+            outs = _run_bwd_pre(spec, mode, need_dw, interpret, weights,
+                                emb, None, cts)
+            if need_dw:
+                dws = tuple(dw.astype(w.dtype)
+                            for dw, w in zip(outs[1:], weights))
+            else:
+                dws = tuple(jnp.zeros_like(w) for w in weights)
+            return dws, outs[0]
+
+        fused.defvjp(fwd, bwd)
+        return fused
+
+    @jax.custom_vjp
+    def fused(weights, emb, embd):
+        return _run_fwd_pre(spec, mode, interpret, weights, emb, embd)
+
+    def fwd(weights, emb, embd):
+        return fused(weights, emb, embd), (weights, emb, embd)
+
+    def bwd(res, g):
+        weights, emb, embd = res
+        cts = tuple(jnp.asarray(gi, cd) for gi in g)
+        outs = _run_bwd_pre(spec, mode, need_dw, interpret, weights, emb,
+                            embd, cts)
+        if need_dw:
+            dws = tuple(dw.astype(w.dtype)
+                        for dw, w in zip(outs[2:], weights))
+        else:
+            dws = tuple(jnp.zeros_like(w) for w in weights)
+        return dws, outs[0], outs[1]
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def fused_field_apply_pre(spec: FieldSpec, weights: tuple,
+                          xyz_emb: jnp.ndarray,
+                          dir_emb: jnp.ndarray | None = None,
+                          sigma_only: bool = False,
+                          output_transient: bool = True,
+                          need_dw: bool = True,
+                          interpret: bool = False) -> dict:
+    """Drop-in for NeRFHNFF.apply on EMBEDDED inputs — the same signature
+    as the flax field fns (model.coarse_fn/fine_fn minus the params slot),
+    so the renderer's standard embed branch can drive it directly.
+
+    weights MUST be packed with pack_params(..., pre_embedded=True) (the
+    reference embedding row order — XLA's embed emits it natively).
+    xyz_emb: (..., E); dir_emb: (..., Ed) broadcastable against xyz_emb's
+    leading shape. Returns the flax-named head dict with f32 leaves."""
+    mode = ("sigma" if sigma_only
+            else ("transient" if (spec.transient and output_transient)
+                  else "full"))
+    lead = xyz_emb.shape[:-1]
+    flat = xyz_emb.reshape(-1, spec.emb_xyz)
+    n = flat.shape[0]
+    pad = (-n) % spec.tile
+    flat = jnp.pad(flat, ((0, pad), (0, 0)))
+    fn = make_fused_field_pre(spec, mode, need_dw, interpret)
+    if mode == "sigma":
+        outs = fn(weights, flat)
+    else:
+        dflat = jnp.broadcast_to(dir_emb, lead + (spec.emb_dir,))
+        dflat = dflat.reshape(-1, spec.emb_dir)
+        dflat = jnp.pad(dflat, ((0, pad), (0, 0)))
+        outs = fn(weights, flat, dflat)
+    named = dict(zip(_out_names_pre(mode), outs))
+
+    def shape(x, c):
+        x = x[:n]
+        return x.reshape(lead + (c,)) if c > 1 else x[..., 0].reshape(lead)
+
+    flax_names = {"sigma": "static_sigma", "rgb": "static_rgb",
+                  "feat": "static_feat", "tsig": "transient_sigma",
+                  "trgb": "transient_rgb", "tbeta": "transient_beta"}
+    dims = _out_dims_pre(spec)
+    return {flax_names[k]: shape(v, dims[k]) for k, v in named.items()}
+
+
+def _shape_head_outputs(spec: FieldSpec, mode: str, outs: tuple,
+                        lead: tuple, n: int) -> dict:
+    """Unpad + reshape kernel head outputs into the flax-named dict."""
+    named = dict(zip(_out_names(mode), outs))
+
+    def shape(x, c):
+        x = x[:n]
+        return x.reshape(lead + (c,)) if c > 1 else x[..., 0].reshape(lead)
+
+    ret = {"static_sigma": shape(named["sigma"], 1)}
+    if mode == "sigma":
+        return ret
+    rf = named["rgbfeat"]
+    ret["static_rgb"] = shape(rf[:, :3], 3)
+    ret["static_feat"] = shape(rf[:, 3:], spec.feature_dim)
+    if mode == "transient":
+        tr = named["transient"]
+        ret["transient_sigma"] = shape(tr[:, 0:1], 1)
+        ret["transient_rgb"] = shape(tr[:, 1:4], 3)
+        ret["transient_beta"] = shape(tr[:, 4:5], 1)
+    return ret
+
+
 def fused_field_apply(spec: FieldSpec, weights: tuple, pts: jnp.ndarray,
                       dirs: jnp.ndarray | None, sigma_only: bool = False,
                       output_transient: bool = True,
@@ -590,21 +897,4 @@ def fused_field_apply(spec: FieldSpec, weights: tuple, pts: jnp.ndarray,
 
     fn = make_fused_field(spec, mode, need_dw, interpret)
     outs = fn(weights, flat, dflat)
-    named = dict(zip(_out_names(mode), outs))
-
-    def shape(x, c):
-        x = x[:n]
-        return x.reshape(lead + (c,)) if c > 1 else x[..., 0].reshape(lead)
-
-    ret = {"static_sigma": shape(named["sigma"], 1)}
-    if mode == "sigma":
-        return ret
-    rf = named["rgbfeat"]
-    ret["static_rgb"] = shape(rf[:, :3], 3)
-    ret["static_feat"] = shape(rf[:, 3:], spec.feature_dim)
-    if mode == "transient":
-        tr = named["transient"]
-        ret["transient_sigma"] = shape(tr[:, 0:1], 1)
-        ret["transient_rgb"] = shape(tr[:, 1:4], 3)
-        ret["transient_beta"] = shape(tr[:, 4:5], 1)
-    return ret
+    return _shape_head_outputs(spec, mode, outs, lead, n)

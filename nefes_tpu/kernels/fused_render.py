@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nefes_tpu.kernels.fused_field import (
     FieldSpec, _const_spec, _forward_tile, _mlp_backward, _tile_spec,
-    weight_names,
+    _tower_tile, weight_names,
 )
 
 DELTA_INF = 1e2      # compositor tail (reference nerfh_nff.py:56)
@@ -259,6 +259,191 @@ def make_fused_render(spec: FieldSpec, S: int, interpret: bool = False):
 
     fused.defvjp(fwd, bwd)
     return fused, r_tile
+
+
+# --------------------------------------------------------------------------
+# PRE-EMBEDDED composite-fused render: XLA computes the frequency
+# embeddings (and their trig backward); the kernel runs tower + heads +
+# composite and emits per-RAY outputs. This is the boundary-minimal
+# variant: per iteration the pallas<->XLA traffic is emb/embd (+ their
+# cotangents) — tensors the unfused scan materializes anyway — plus
+# R x 133 per-ray floats, instead of the per-SAMPLE head outputs whose
+# converts/copies/broadcasts cost the plain fused_pre path ~6 ms/iter
+# (r4 fused_pre profile). Weights must be packed with
+# pack_params(..., pre_embedded=True).
+# --------------------------------------------------------------------------
+
+def _render_fwd_kernel_pre(spec, S, names, refs):
+    emb, embd, z = refs[0], refs[1], refs[2]
+    cd = jnp.dtype(spec.dtype)
+    n_w = len(names)
+    w = dict(zip(names, refs[3:3 + n_w]))
+    out_ref = refs[3 + n_w]
+    r_t = z.shape[0]
+    T = r_t * S
+    A, B = _ray_selector(r_t, T, S), _pos_selector(T, S)
+
+    out, _ = _tower_tile(spec, "full", w, emb[:].astype(cd),
+                         embd[:].astype(cd))
+    _, _, wgt, _ = _composite_pieces(out["sigma"], z[:], A, B)
+
+    w_flat = _unfold(wgt, A, B)                       # (T, 1)
+    wx = w_flat * out["rgbfeat"]                      # (T, 131)
+    ray = jnp.dot(A, wx, preferred_element_type=jnp.float32)  # (R_t, 131)
+    depth = jnp.sum(wgt * z[:], axis=1, keepdims=True)
+    acc = jnp.sum(wgt, axis=1, keepdims=True)
+    out_ref[:] = jnp.concatenate([ray, depth, acc], axis=1)
+
+
+def _render_bwd_kernel_pre(spec, S, names, refs):
+    """Recompute + backprop (NO trig in-kernel). Inputs: emb, embd, z,
+    weights, d_out (R_t, 133). Outputs: d_emb (T, E), d_embd (T, Ed),
+    d_z (R_t, S)."""
+    emb, embd, z = refs[0], refs[1], refs[2]
+    cd = jnp.dtype(spec.dtype)
+    n_w = len(names)
+    w = dict(zip(names, refs[3:3 + n_w]))
+    d_out = refs[3 + n_w]
+    d_emb_ref, d_embd_ref, d_z_ref = refs[4 + n_w:]
+    r_t = z.shape[0]
+    T = r_t * S
+    C = spec.rgbfeat
+    A, B = _ray_selector(r_t, T, S), _pos_selector(T, S)
+
+    out, acts = _tower_tile(spec, "full", w, emb[:].astype(cd),
+                            embd[:].astype(cd))
+    sigma = out["sigma"]                               # (T, 1) f32
+    rgbfeat = out["rgbfeat"]                           # (T, 131) f32
+    zt = z[:]
+    alpha, trans, wgt, deltas = _composite_pieces(sigma, zt, A, B)
+    sig_rs = _fold(sigma, A, B)
+    w_flat = _unfold(wgt, A, B)
+
+    g = d_out[:]                                       # (R_t, 133)
+    g_ray, g_depth, g_acc = g[:, :C], g[:, C:C + 1], g[:, C + 1:C + 2]
+
+    g_rep = _per_ray_broadcast(g_ray, A)               # (T, C)
+    d_rgbfeat = w_flat * g_rep                         # (T, 131)
+
+    # STOP-GRAD rule: only rgb (plus depth/acc) feed the weight cotangent
+    rgb_dot = jnp.sum(rgbfeat[:, :3] * g_rep[:, :3], axis=1,
+                      keepdims=True)                   # (T, 1)
+    d_w = _fold(rgb_dot, A, B) + zt * g_depth + g_acc
+
+    dww = d_w * wgt
+    suffix = jnp.dot(dww, _tri_lower_strict(S),
+                     preferred_element_type=jnp.float32)
+    d_alpha = d_w * trans - suffix / jnp.maximum(1.0 - alpha, _LOG_EPS)
+
+    exp_term = jnp.exp(-deltas * sig_rs)
+    d_sigma = _unfold(d_alpha * deltas * exp_term, A, B)
+    d_delta = d_alpha * sig_rs * exp_term
+    d_delta = jnp.concatenate(
+        [d_delta[:, :-1], jnp.zeros((r_t, 1), jnp.float32)], axis=1)
+    d_delta_shift = jnp.concatenate(
+        [jnp.zeros((r_t, 1), jnp.float32), d_delta[:, :-1]], axis=1)
+    d_z_ref[:] = wgt * g_depth + d_delta_shift - d_delta
+
+    cts = {"sigma": d_sigma, "rgbfeat": d_rgbfeat}
+    d_emb, d_embd = _mlp_backward(spec, "full", False, w, acts, cts, {},
+                                  pre=True)
+    d_emb_ref[:] = d_emb.astype(d_emb_ref.dtype)
+    d_embd_ref[:] = d_embd.astype(d_embd_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def make_fused_render_pre(spec: FieldSpec, S: int, interpret: bool = False):
+    """Returns fused(weights, emb (R*S, E), embd (R*S, Ed), z (R, S)) ->
+    (R, 133) [rgbfeat | depth | acc]. Frozen-field only."""
+    names = weight_names(spec)
+    r_tile = max(spec.tile // S, 8)
+    r_tile_b = max(min(spec.tile, 512) // S, 8)
+    E, Ed = spec.emb_xyz, spec.emb_dir
+
+    def run_fwd(weights, emb, embd, z):
+        R = z.shape[0]
+        fn = pl.pallas_call(
+            lambda *refs: _render_fwd_kernel_pre(spec, S, names, refs),
+            grid=(R // r_tile,),
+            in_specs=[_tile_spec(r_tile * S, E), _tile_spec(r_tile * S, Ed),
+                      _tile_spec(r_tile, S)]
+                     + [_const_spec(w.shape) for w in weights],
+            out_specs=_tile_spec(r_tile, spec.rgbfeat + 2),
+            out_shape=jax.ShapeDtypeStruct((R, spec.rgbfeat + 2),
+                                           jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+            interpret=interpret,
+        )
+        return fn(emb, embd, z, *weights)
+
+    def run_bwd(weights, emb, embd, z, g):
+        R = z.shape[0]
+        t = r_tile_b
+        fn = pl.pallas_call(
+            lambda *refs: _render_bwd_kernel_pre(spec, S, names, refs),
+            grid=(R // t,),
+            in_specs=[_tile_spec(t * S, E), _tile_spec(t * S, Ed),
+                      _tile_spec(t, S)]
+                     + [_const_spec(w.shape) for w in weights]
+                     + [_tile_spec(t, spec.rgbfeat + 2)],
+            out_specs=[_tile_spec(t * S, E), _tile_spec(t * S, Ed),
+                       _tile_spec(t, S)],
+            out_shape=[jax.ShapeDtypeStruct((R * S, E), emb.dtype),
+                       jax.ShapeDtypeStruct((R * S, Ed), embd.dtype),
+                       jax.ShapeDtypeStruct((R, S), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+            interpret=interpret,
+        )
+        return fn(emb, embd, z, *weights, g)
+
+    @jax.custom_vjp
+    def fused(weights, emb, embd, z):
+        return run_fwd(weights, emb, embd, z)
+
+    def fwd(weights, emb, embd, z):
+        return fused(weights, emb, embd, z), (weights, emb, embd, z)
+
+    def bwd(res, g):
+        weights, emb, embd, z = res
+        d_emb, d_embd, d_z = run_bwd(weights, emb, embd, z,
+                                     jnp.asarray(g, jnp.float32))
+        return (tuple(jnp.zeros_like(w) for w in weights),
+                d_emb, d_embd, d_z)
+
+    fused.defvjp(fwd, bwd)
+    return fused, r_tile
+
+
+def fused_render_apply_pre(spec: FieldSpec, weights: tuple,
+                           xyz_emb: jnp.ndarray, dir_emb: jnp.ndarray,
+                           z_vals: jnp.ndarray,
+                           interpret: bool = False) -> dict:
+    """Composite-fused fine render on pre-embedded inputs.
+    xyz_emb (R, S, E), dir_emb (R, S, Ed) (or broadcastable), z_vals
+    (R, S). Returns the same per-ray dict as fused_render_apply."""
+    R, S, E = xyz_emb.shape
+    fn, r_tile = make_fused_render_pre(spec, S, interpret)
+    dir_emb = jnp.broadcast_to(dir_emb, (R, S, spec.emb_dir))
+    pad = (-R) % r_tile
+    if pad:
+        xyz_emb = jnp.concatenate(
+            [xyz_emb, jnp.broadcast_to(xyz_emb[-1:], (pad, S, E))], axis=0)
+        dir_emb = jnp.concatenate(
+            [dir_emb,
+             jnp.broadcast_to(dir_emb[-1:], (pad, S, spec.emb_dir))],
+            axis=0)
+        z_vals = jnp.concatenate(
+            [z_vals, jnp.broadcast_to(z_vals[-1:], (pad, S))], axis=0)
+    out = fn(weights, xyz_emb.reshape(-1, E),
+             dir_emb.reshape(-1, spec.emb_dir), z_vals)[:R]
+    C = spec.rgbfeat
+    depth = out[:, C]
+    acc = out[:, C + 1]
+    disp = 1.0 / jnp.maximum(1e-10, depth / acc)
+    return {"rgb": out[:, :3], "feat": out[:, 3:C],
+            "depth": depth, "acc": acc, "disp": disp}
 
 
 def fused_render_apply(spec: FieldSpec, weights: tuple, pts: jnp.ndarray,

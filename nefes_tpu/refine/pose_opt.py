@@ -60,7 +60,14 @@ def render_feature_image(model: NeFeSModel, variables, pose34: jnp.ndarray,
     DFM_pose_refine.py:321-329). Returns (rgb_img (h,w,3), fused (h,w,F))."""
     h, w, focal = hwf
     params = variables["params"]
-    if cfg.fused:
+    if cfg.fused and cfg.fused_pre:
+        packed_c, packed_f = model.pack_fused_pre(params)
+        fine = (model.fine_render_pre_fn() if cfg.fused_render
+                else model.fine_pre_fn(need_dw=cfg.fused_need_dw))
+        out = render_image(model.coarse_pre_fn(need_dw=cfg.fused_need_dw),
+                           fine, packed_c, packed_f,
+                           h, w, focal, pose34, near, far, cfg)
+    elif cfg.fused:
         packed_c, packed_f = model.pack_fused(params)
         fine = (model.fine_render_raw_fn() if cfg.fused_render
                 else model.fine_raw_fn(need_dw=cfg.fused_need_dw))

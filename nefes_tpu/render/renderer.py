@@ -49,6 +49,16 @@ class RenderConfig:
     # all weight-grad matmuls in the kernel VJP (frozen-field refinement).
     fused: bool = False
     fused_need_dw: bool = True
+    # Pre-embedded fused variant (kernels/fused_field.py:
+    # fused_field_apply_pre): XLA computes the frequency embeddings (and
+    # their trig backward) in wide fusions; the Pallas kernel runs only the
+    # matmul tower + heads. With fused=True this routes through the
+    # STANDARD embed branch of _query — the field fns consume embeddings
+    # and the params slots carry pre_embedded=True packed weights. This is
+    # the variant that survives value_and_grad inside the refinement scan
+    # (the raw-input kernel recomputes its in-kernel trig twice and loses
+    # there — r4 in-scan A/B, KERNEL_r04.json).
+    fused_pre: bool = False
     # dtype name the (R, S, 63/27) frequency embeddings are MATERIALIZED
     # in before the field MLP. The field casts its input to its compute
     # dtype anyway; emitting the embedding already in that dtype halves
@@ -88,9 +98,11 @@ def _query(field_fn: FieldFn, params, pts: jnp.ndarray, viewdirs: jnp.ndarray,
     weights (traced arrays — reduce_embedding=2, reference embed_DNeRF
     nerfh_nff.py:282-297). None = full bands.
 
-    On the fused path the embedding happens inside the Pallas kernel —
-    field_fn consumes raw pts/dirs."""
-    if cfg.fused:
+    On the fused (raw) path the embedding happens inside the Pallas
+    kernel — field_fn consumes raw pts/dirs. On the fused_pre path the
+    standard embed branch below runs: the pre-embedded kernel fns are
+    signature-compatible with the flax field fns."""
+    if cfg.fused and not cfg.fused_pre:
         dirs = None if sigma_only else jnp.broadcast_to(
             viewdirs[..., None, :], pts.shape)
         return field_fn(params, pts, dirs, sigma_only, output_transient)
@@ -160,13 +172,23 @@ def render_rays(coarse_fn: FieldFn, fine_fn: FieldFn | None,
     pts_f = rays_o[..., None, :] + rays_d[..., None, :] * z_vals_f[..., None]
 
     if cfg.fused and cfg.fused_render:
-        # composite-fused fine pass: fine_fn is a render fn
-        # (packed, pts (R,S,3), viewdirs (R,3), z (R,S)) -> per-ray dict
-        # (kernels/fused_render.py) — valid only on the frozen-field
-        # test-time path without transient heads
+        # composite-fused fine pass: fine_fn is a render fn emitting the
+        # per-ray dict (kernels/fused_render.py) — valid only on the
+        # frozen-field test-time path without transient heads
         assert cfg.test_time and not cfg.output_transient, \
             "fused_render covers the refinement render only"
-        out_f = fine_fn(fine_params, pts_f, viewdirs, z_vals_f)
+        if cfg.fused_pre:
+            # XLA embeds; the kernel runs tower + heads + composite.
+            # fine_fn: (packed, xyz_emb (R,S,E), dir_emb (R,S,Ed), z)
+            w_xyz, w_dir = window if window is not None else (None, None)
+            ed = jnp.dtype(cfg.embed_dtype)
+            xyz_emb = embed(pts_f, cfg.xyz_embed, window=w_xyz).astype(ed)
+            dirs_f = jnp.broadcast_to(viewdirs[..., None, :], pts_f.shape)
+            dir_emb = embed(dirs_f, cfg.dir_embed, window=w_dir).astype(ed)
+            out_f = fine_fn(fine_params, xyz_emb, dir_emb, z_vals_f)
+        else:
+            # raw variant: (packed, pts (R,S,3), viewdirs (R,3), z (R,S))
+            out_f = fine_fn(fine_params, pts_f, viewdirs, z_vals_f)
         return {"rgb": out_f["rgb"], "feat": out_f["feat"],
                 "disp": out_f["disp"], "acc": out_f["acc"],
                 "depth": out_f["depth"]}

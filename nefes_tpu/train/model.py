@@ -140,6 +140,49 @@ class NeFeSModel:
     def fine_raw_fn(self, need_dw: bool = True, interpret: bool = False):
         return self._raw_fn("fine", need_dw, interpret)
 
+    # --- pre-embedded fused path: XLA embeds, the kernel runs the tower.
+    # Signature-compatible with coarse_fn/fine_fn (params slot = packed
+    # weights), so the renderer's standard embed branch drives it. ---
+
+    def pack_fused_pre(self, params) -> tuple:
+        from nefes_tpu.kernels.fused_field import pack_params
+        return (pack_params(params["coarse"], self.fused_spec("coarse"),
+                            pre_embedded=True),
+                pack_params(params["fine"], self.fused_spec("fine"),
+                            pre_embedded=True))
+
+    def _pre_fn(self, typ: str, need_dw: bool, interpret: bool):
+        from nefes_tpu.kernels.fused_field import fused_field_apply_pre
+        spec = self.fused_spec(typ)
+
+        def fn(packed, xyz_emb, dir_emb=None, sigma_only=False,
+               output_transient=True):
+            return fused_field_apply_pre(spec, packed, xyz_emb, dir_emb,
+                                         sigma_only=sigma_only,
+                                         output_transient=output_transient,
+                                         need_dw=need_dw,
+                                         interpret=interpret)
+        return fn
+
+    def coarse_pre_fn(self, need_dw: bool = True, interpret: bool = False):
+        return self._pre_fn("coarse", need_dw, interpret)
+
+    def fine_pre_fn(self, need_dw: bool = True, interpret: bool = False):
+        return self._pre_fn("fine", need_dw, interpret)
+
+    def fine_render_pre_fn(self, interpret: bool = False):
+        """Pre-embedded composite-fused fine render fn
+        (kernels/fused_render.py): (packed, xyz_emb (R,S,E), dir_emb
+        (R,S,Ed), z (R,S)) -> per-ray dict. Used by render_rays when
+        cfg.fused_render and cfg.fused_pre."""
+        from nefes_tpu.kernels.fused_render import fused_render_apply_pre
+        spec = self.fused_spec("fine")
+
+        def fn(packed, xyz_emb, dir_emb, z):
+            return fused_render_apply_pre(spec, packed, xyz_emb, dir_emb,
+                                          z, interpret=interpret)
+        return fn
+
     def ray_field_fns(self, params, hist=None):
         """(coarse_fn, fine_fn) for one image. The NFF field has no
         per-image latent conditioning (exposure is a post-render rgb

@@ -41,14 +41,36 @@ def sync_scalar(out) -> float:
 
 
 def timeit(name: str, fn, n: int = 10) -> float:
+    """Deep-queue timing: enqueue n calls, sync once, divide.
+
+    On the axon remote-TPU runtime the final scalar sync costs a tunnel
+    round-trip (~25-30 ms measured) and each dispatch ~0.3 ms, so the
+    per-call error is ~(RTT/n + 0.3) ms. The r3/r4 kernelmicro numbers
+    were taken at n=10 (+~2.7 ms/call) — enough to invert every sub-10 ms
+    comparison and mis-call the fused-field verdict (KERNEL_r04). n now
+    auto-scales until the measured total is >= 1 s so the sync error stays
+    <3%; sub-ms kernels additionally get the measured empty-queue sync
+    constant subtracted."""
     for _ in range(2):          # compile + steady-state warmup
         sync_scalar(fn())
+    # measured tunnel sync constant (empty queue): time a no-work sync
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn()
-    sync_scalar(out)
-    dt = (time.perf_counter() - t0) / n
-    print(f"{name}: {dt * 1000:.2f} ms", flush=True)
+    sync_scalar(fn())
+    probe = time.perf_counter() - t0
+    while True:
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn()
+        sync_scalar(out)
+        total = time.perf_counter() - t0
+        if total >= 1.0 or n >= 2000:
+            break
+        n = min(2000, max(n * 4, int(n * 1.5 / max(total, 1e-6))))
+    # model: probe = t + RTT; total = n*t + RTT  =>  t = (total-probe)/(n-1)
+    dt = (total - probe) / (n - 1) if n > 1 else total
+    dt = min(max(dt, 0.0), total / n)   # clamp against probe noise
+    print(f"{name}: {dt * 1000:.2f} ms  (n={n}, single-call {probe*1e3:.1f} ms)",
+          flush=True)
     return dt
 
 

@@ -174,3 +174,126 @@ def test_render_rays_fused_render_path():
     scale = max(np.abs(gu).max(), 1e-3)
     np.testing.assert_allclose(gf / scale, gu / scale, rtol=3e-3,
                                atol=1e-3)
+
+
+# --- PRE-EMBEDDED composite-fused render (fused_render_apply_pre) ---
+
+def _embeds(cfg, pts, viewdirs):
+    xyz_emb = embed(pts, cfg.xyz_embed)
+    dirs = jnp.broadcast_to(viewdirs[:, None, :], pts.shape)
+    return xyz_emb, embed(dirs, cfg.dir_embed)
+
+
+def test_pre_forward_parity(setup):
+    cfg, model, params, spec, _, pts, viewdirs, z = setup
+    from nefes_tpu.kernels.fused_render import fused_render_apply_pre
+    weights = pack_params(params["fine"], spec, pre_embedded=True)
+    ref = _reference(cfg, model, params, pts, viewdirs, z)
+    xe, de = _embeds(cfg, pts, viewdirs)
+    out = fused_render_apply_pre(spec, weights, xe, de, z, interpret=True)
+    for k in ("rgb", "feat", "depth", "acc", "disp"):
+        np.testing.assert_allclose(np.asarray(out[k]),
+                                   np.asarray(ref[k]),
+                                   rtol=2e-4, atol=2e-5, err_msg=k)
+
+
+def test_pre_gradient_parity(setup):
+    """d loss / d (pts, dirs, z) through XLA embed + pre kernel matches
+    the unfused path — the exact refinement gradient route (pose -> pts
+    -> embed -> kernel -> per-ray loss)."""
+    cfg, model, params, spec, _, pts, viewdirs, z = setup
+    from nefes_tpu.kernels.fused_render import fused_render_apply_pre
+    weights = pack_params(params["fine"], spec, pre_embedded=True)
+
+    def loss_ref(pts, viewdirs, z):
+        o = _reference(cfg, model, params, pts, viewdirs, z)
+        return (jnp.sum(o["rgb"] ** 2) + 0.1 * jnp.sum(o["feat"] ** 2)
+                + 0.05 * jnp.sum(o["depth"]) + 0.02 * jnp.sum(o["acc"]))
+
+    def loss_kern(pts, viewdirs, z):
+        xe, de = _embeds(cfg, pts, viewdirs)
+        o = fused_render_apply_pre(spec, weights, xe, de, z,
+                                   interpret=True)
+        return (jnp.sum(o["rgb"] ** 2) + 0.1 * jnp.sum(o["feat"] ** 2)
+                + 0.05 * jnp.sum(o["depth"]) + 0.02 * jnp.sum(o["acc"]))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(pts, viewdirs, z)
+    g_k = jax.grad(loss_kern, argnums=(0, 1, 2))(pts, viewdirs, z)
+    # d_pts goes through the SAME XLA embed VJP on both sides here, so it
+    # is tight — unlike the raw kernel whose in-kernel trig chain carries
+    # ~1e-3 relative cancellation noise (see test_gradient_parity)
+    tols = {"pts": dict(rtol=2e-4, atol=2e-5),
+            "dirs": dict(rtol=1e-4, atol=1e-5),
+            "z": dict(rtol=1e-4, atol=1e-5)}
+    for a, b, name in zip(g_k, g_ref, ("pts", "dirs", "z")):
+        scale = max(float(jnp.abs(b).max()), 1e-3)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   err_msg=name, **tols[name])
+
+
+def test_pre_stop_gradient_feature_rule(setup):
+    cfg, model, params, spec, _, pts, viewdirs, z = setup
+    from nefes_tpu.kernels.fused_render import fused_render_apply_pre
+    weights = pack_params(params["fine"], spec, pre_embedded=True)
+    xe, de = _embeds(cfg, pts, viewdirs)
+
+    def dz_of(fn):
+        def loss(z):
+            return jnp.sum(fn(z)["feat"] ** 2)
+        return jax.grad(loss)(z)
+
+    dz_ref = dz_of(lambda z: _reference(cfg, model, params, pts,
+                                        viewdirs, z))
+    dz_k = dz_of(lambda z: fused_render_apply_pre(spec, weights, xe, de,
+                                                  z, interpret=True))
+    np.testing.assert_allclose(np.asarray(dz_k), np.asarray(dz_ref),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_render_rays_fused_render_pre_path():
+    """render_rays with cfg.fused_render + cfg.fused_pre: coarse pre
+    sigma kernel -> PDF sampling -> pre composite-fused fine pass, vs the
+    unfused pipeline end-to-end incl. the pose-translation gradient."""
+    from nefes_tpu.render.renderer import render_rays
+
+    cfg_m = ModelConfig.tiny()
+    model = NeFeSModel(cfg_m)
+    params = model.init_variables(jax.random.key(0))["params"]
+    pc, pf = model.pack_fused_pre(params)
+    k = jax.random.key(1)
+    rays_o = jax.random.normal(k, (12, 3)) * 0.1
+    rays_d = jax.random.normal(jax.random.key(2), (12, 3))
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    cfg = cfg_m.render_config(n_samples=8, n_importance=8, perturb=False,
+                              test_time=True, output_transient=False)
+
+    def unfused(o):
+        return render_rays(model.coarse_fn, model.fine_fn, params, params,
+                           o, rays_d, 0.1, 4.0, None, cfg)
+
+    fcfg = cfg.__class__(**{**cfg.__dict__, "fused": True,
+                            "fused_pre": True, "fused_need_dw": False,
+                            "fused_render": True})
+
+    def fused(o):
+        return render_rays(
+            model.coarse_pre_fn(need_dw=False, interpret=True),
+            model.fine_render_pre_fn(interpret=True),
+            pc, pf, o, rays_d, 0.1, 4.0, None, fcfg)
+
+    out, fout = unfused(rays_o), fused(rays_o)
+    for key in ("rgb", "feat", "disp", "acc", "depth"):
+        np.testing.assert_allclose(np.asarray(fout[key]),
+                                   np.asarray(out[key]),
+                                   rtol=2e-4, atol=2e-5, err_msg=key)
+
+    loss_u = lambda o: jnp.sum(unfused(o)["feat"] ** 2) \
+        + jnp.sum(unfused(o)["rgb"] ** 2)
+    loss_f = lambda o: jnp.sum(fused(o)["feat"] ** 2) \
+        + jnp.sum(fused(o)["rgb"] ** 2)
+    gu = np.asarray(jax.grad(loss_u)(rays_o))
+    gf = np.asarray(jax.grad(loss_f)(rays_o))
+    scale = max(np.abs(gu).max(), 1e-3)
+    np.testing.assert_allclose(gf / scale, gu / scale, rtol=3e-3,
+                               atol=1e-3)
