@@ -193,11 +193,16 @@ def main():
     dt3c, fl3c, _ = mode3("cambridge")
     extra["mode3_cambridge_s_per_frame"] = round(dt3c, 4)
 
-    # ---- mode 3 with the Pallas fused refinement render (coarse sigma
-    # kernel + composite-fused fine pass, kernels/fused_render.py) ----
+    # ---- mode 3 with the Pallas fused refinement render — the PRE-
+    # EMBEDDED composite-fused variant (XLA embeds, kernel runs tower +
+    # heads + in-kernel composite, per-ray outputs): the best-measured
+    # kernel config, at parity with the unfused scan (r4 in-scan A/B:
+    # 0.964 vs 0.965 s/frame; the raw-input variant pays its in-kernel
+    # trig twice under value_and_grad and loses, KERNEL_r04.json) ----
     try:
         from dataclasses import replace as dc_replace
         rcfg_render_fused = dc_replace(rcfg_render, fused=True,
+                                       fused_pre=True,
                                        fused_need_dw=False,
                                        fused_render=True)
         H, W, _, _, FOCAL = GEOMS["7scenes"]

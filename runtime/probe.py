@@ -1106,6 +1106,51 @@ def cmd_kernelmicro(args):
         results[f"embed_tile{tile}_ms"] = timeit(
             f"embed-only kernel tile={tile}", lambda f=f: f(pts)) * 1e3
 
+    # K=256 block-diagonal packing probe: can two independent width-128
+    # streams fill more of the MAC array through a (256, 256) block-diag
+    # weight? (frozen field -> the packed weight is precomputable). The
+    # hypothesis fails if raw K=256 throughput is < 2x the K=128 rate —
+    # the 50% packing waste then eats the gain.
+    # (chain_kernel's first layer takes E-dim input; the packing question
+    # only concerns the square hidden layers, so a square-chain variant)
+    def chain_sq_kernel(width, *refs):
+        x, wrefs, o = refs[0], refs[1:1 + D], refs[1 + D]
+        h = x[:]
+        for i in range(D):
+            h = jnp.maximum(jnp.dot(h, wrefs[i][:],
+                                    preferred_element_type=jnp.float32)
+                            .astype(jnp.bfloat16), 0)
+        o[:] = h
+
+    def make_sq(width, rows, tile):
+        ws = [jax.random.normal(jax.random.key(i + 1), (width, width),
+                                jnp.bfloat16) * 0.05 for i in range(D)]
+        x = jax.random.normal(key, (rows, width), jnp.bfloat16)
+        fn = pl.pallas_call(
+            _part(chain_sq_kernel, width),
+            grid=(rows // tile,),
+            in_specs=[pl.BlockSpec((tile, width), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)]
+                     + [pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM) for w in ws],
+            out_specs=pl.BlockSpec((tile, width), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows, width), jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)))
+        jf = jax.jit(lambda x, *w: jnp.sum(fn(x, *w).astype(jnp.float32)))
+        return lambda: jf(x, *ws)
+
+    t128 = timeit("square chain8 w=128 rows=N", make_sq(128, N, 2048))
+    t256 = timeit("square chain8 w=256 rows=N/2 (block-diag equiv)",
+                  make_sq(256, N // 2, 512))
+    results["sq_chain8_w128_ms"] = t128 * 1e3
+    results["sq_chain8_w256_halfrows_ms"] = t256 * 1e3
+    fl128 = 2 * N * 128 * 128 * D
+    results["sq_chain8_w128_tflops"] = round(fl128 / t128 / 1e12, 1)
+    results["sq_chain8_w256_raw_tflops"] = round(2 * fl128 / t256 / 1e12, 1)
+    results["blockdiag_packing_wins"] = bool(t256 < t128)
+
     # full production kernel at the same shapes, per tile
     from nefes_tpu.kernels.fused_field import FieldSpec, fused_field_apply, \
         pack_params
@@ -1123,6 +1168,33 @@ def cmd_kernelmicro(args):
         results[f"full_kernel_tile{tile}_ms"] = timeit(
             f"full field kernel tile={tile}",
             lambda f=f: f(wt, pts, dirs)) * 1e3
+
+    # pre-embedded variants at the production shape (r4: the variants
+    # that survive the in-scan A/B closest to XLA)
+    from nefes_tpu.fields.embedder import EmbedConfig, embed
+    xe = embed(pts, EmbedConfig(num_freqs=10)).astype(jnp.bfloat16)
+    de = embed(dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True),
+               EmbedConfig(num_freqs=4)).astype(jnp.bfloat16)
+    from nefes_tpu.kernels.fused_field import fused_field_apply_pre
+    sp = FieldSpec.from_model(cfg16, "fine", dtype="bfloat16", tile=2048)
+    wtp = pack_params(params["fine"], sp, pre_embedded=True)
+    fp = jax.jit(lambda w, a, b: red(fused_field_apply_pre(
+        sp, w, a, b, sigma_only=False, output_transient=False,
+        need_dw=False)))
+    results["pre_kernel_fwd_ms"] = timeit(
+        "pre-embedded field kernel fwd", lambda: fp(wtp, xe, de)) * 1e3
+    @jax.jit
+    def gp(a, b):
+        # reduce the (N, E) grads to scalars ON DEVICE — returning them
+        # raw makes timeit's final sync fetch 77 MB over the tunnel
+        ga, gb = jax.grad(
+            lambda a, b: red(fused_field_apply_pre(
+                sp, wtp, a, b, sigma_only=False, output_transient=False,
+                need_dw=False)), argnums=(0, 1))(a, b)
+        return jnp.sum(ga.astype(jnp.float32)) + jnp.sum(
+            gb.astype(jnp.float32))
+    results["pre_kernel_fwdbwd_ms"] = timeit(
+        "pre-embedded field kernel fwd+bwd", lambda: gp(xe, de)) * 1e3
 
     print(json.dumps(results))
     if args.out:
