@@ -54,10 +54,17 @@ def fix_coord_supp_jnp(pose: jnp.ndarray, ws: WorldSetup) -> jnp.ndarray:
 
 def render_feature_image(model: NeFeSModel, variables, pose34: jnp.ndarray,
                          hist: jnp.ndarray, hwf: tuple, near: float,
-                         far: float, cfg: RenderConfig):
+                         far: float, cfg: RenderConfig,
+                         block_rays: int = 0):
     """Render at H/tinyscale and run exposure + fusion — the shared forward
     of both refinement modes (DFM_APR_refine.py:107-113,
-    DFM_pose_refine.py:321-329). Returns (rgb_img (h,w,3), fused (h,w,F))."""
+    DFM_pose_refine.py:321-329). Returns (rgb_img (h,w,3), fused (h,w,F)).
+
+    block_rays: 0 = one fused launch (right for the H/4 refinement
+    renders). FULL-resolution calls (e.g. the accuracy harness's
+    feature-finetune renders at 240x320 = 76,800 rays) MUST chunk: the
+    unchunked fine pass materializes ~10 GB of (R*S, 63..131) transients
+    and exhausts HBM."""
     h, w, focal = hwf
     params = variables["params"]
     if cfg.fused and cfg.fused_pre:
@@ -66,17 +73,20 @@ def render_feature_image(model: NeFeSModel, variables, pose34: jnp.ndarray,
                 else model.fine_pre_fn(need_dw=cfg.fused_need_dw))
         out = render_image(model.coarse_pre_fn(need_dw=cfg.fused_need_dw),
                            fine, packed_c, packed_f,
-                           h, w, focal, pose34, near, far, cfg)
+                           h, w, focal, pose34, near, far, cfg,
+                           block_rays=block_rays)
     elif cfg.fused:
         packed_c, packed_f = model.pack_fused(params)
         fine = (model.fine_render_raw_fn() if cfg.fused_render
                 else model.fine_raw_fn(need_dw=cfg.fused_need_dw))
         out = render_image(model.coarse_raw_fn(need_dw=cfg.fused_need_dw),
                            fine, packed_c, packed_f,
-                           h, w, focal, pose34, near, far, cfg)
+                           h, w, focal, pose34, near, far, cfg,
+                           block_rays=block_rays)
     else:
         out = render_image(model.coarse_fn, model.fine_fn, params, params,
-                           h, w, focal, pose34, near, far, cfg)
+                           h, w, focal, pose34, near, far, cfg,
+                           block_rays=block_rays)
     rgb = model.apply_exposure(params, hist[None],
                                out["rgb"].reshape(1, -1, 3))
     rgb_img = rgb.reshape(h, w, 3)

@@ -522,10 +522,14 @@ def cmd_accuracy(args):
             FH, FW = HH // 2, WW // 2
 
             def render_rgb_at(pose34, hist):
+                # full-res render MUST chunk (block_rays) — 240x320 =
+                # 76,800 rays unchunked OOMs HBM (~10 GB of fine-pass
+                # transients); 4800-ray blocks match the refinement
+                # render's peak memory exactly
                 rgb_img, _ = render_feature_image(
                     model, state.variables, jnp.asarray(pose34),
                     jnp.asarray(hist), full_hwf, scene.near, scene.far,
-                    tcfg)
+                    tcfg, block_rays=4800)
                 return np.asarray(rgb_img, np.float32)
 
             rng_np = np.random.default_rng(7)
