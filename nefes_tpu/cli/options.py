@@ -148,6 +148,11 @@ class Options:
     # VGG16 tower on the MXU's native type (weights stay f32)
     apr_compute_dtype: str = "float32"
     no_verification_step: bool = False
+    # retreat signal for the verification fail-safe: "psnr_ssim" is the
+    # reference's proxy (DFM_APR_refine.py:242-250); "dfm" retreats when
+    # the feature loss itself failed to improve; "either" combines both.
+    # Measured proxy confusion matrices: ACCURACY_r04.json
+    verification_metric: str = "psnr_ssim"
     per_pixel: bool = False
     svd_reg: bool = False
     freezeBN: bool = False

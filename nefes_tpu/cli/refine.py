@@ -218,6 +218,7 @@ def main(argv=None):
                         ws_vec, hwf_render, hwf_full, near, far,
                         rcfg_render, rcfg, masks=masks_d,
                         use_verification=not opts.no_verification_step,
+                        verification_metric=opts.verification_metric,
                         has_mask=masks_d is not None, **kw)
                     pending.append((slice(sl.start + j, sl.start + j + 1),
                                     pose))
@@ -229,7 +230,7 @@ def main(argv=None):
                     hwf_render, hwf_full, near, far, rcfg_render, rcfg,
                     masks=masks_d, **kw)
                 poses = out["refined_pose"] if opts.no_verification_step \
-                    else apply_verification(out)
+                    else apply_verification(out, opts.verification_metric)
                 pending.append((sl, poses))
             while len(pending) > LOOKAHEAD:
                 drain(pending.pop(0))

@@ -181,12 +181,29 @@ def refine_apr_single(model: NeFeSModel, variables, dfnet: DFNet,
     }
 
 
-def apply_verification(result: dict) -> jnp.ndarray:
+def apply_verification(result: dict, metric: str = "psnr_ssim") -> jnp.ndarray:
     """The verification fail-safe (DFM_APR_refine.py:242-250): retreat to
-    the initial pose if rendered-RGB PSNR or SSIM degraded over the run.
-    Works on single results and batched (leading B) results."""
-    retreat = jnp.logical_or(result["end_psnr"] < result["init_psnr"],
-                             result["end_ssim"] < result["init_ssim"])
+    the initial pose if the run degraded under ``metric``. Works on single
+    results and batched (leading B) results.
+
+    metric:
+      "psnr_ssim" — the reference's proxy: retreat when rendered-RGB PSNR
+        OR SSIM degraded over the run (DFM_APR_refine.py:242-250).
+      "dfm" — retreat when the DFM feature loss itself did not improve
+        (losses[-1] vs losses[0], both recorded pre-update so the timing
+        matches the reference's end_psnr bookkeeping). The reference
+        never checks its own objective; measured on the accuracy harness
+        (ACCURACY_r04.json "proxy_comparison") this catches degradations
+        the PSNR/SSIM proxy misses.
+      "either" — retreat when either signal degrades (most conservative).
+    """
+    psnr_ssim = jnp.logical_or(result["end_psnr"] < result["init_psnr"],
+                               result["end_ssim"] < result["init_ssim"])
+    if metric == "psnr_ssim":
+        retreat = psnr_ssim
+    else:
+        dfm = result["losses"][..., -1] > result["losses"][..., 0]
+        retreat = dfm if metric == "dfm" else jnp.logical_or(psnr_ssim, dfm)
     retreat = retreat.reshape(retreat.shape + (1,) * (
         result["refined_pose"].ndim - retreat.ndim))
     return jnp.where(retreat, result["initial_pose"], result["refined_pose"])
@@ -195,7 +212,8 @@ def apply_verification(result: dict) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("model", "dfnet", "cfg", "rcfg",
                                    "hwf_render", "hwf_full", "svd_reg",
                                    "freeze_bn", "apr_kind", "dataset_type",
-                                   "use_verification", "has_mask"))
+                                   "use_verification", "has_mask",
+                                   "verification_metric"))
 def refine_apr_verified(model: NeFeSModel, variables, dfnet, dfnet_vars,
                         images, targets, hists, idx, hist_idx,
                         ws_vec, hwf_render: tuple, hwf_full: tuple,
@@ -205,7 +223,9 @@ def refine_apr_verified(model: NeFeSModel, variables, dfnet, dfnet_vars,
                         apr_kind: str = "DFNet",
                         dataset_type: str = "7Scenes", pose_avg=None,
                         use_verification: bool = True,
-                        has_mask: bool = False) -> jnp.ndarray:
+                        has_mask: bool = False,
+                        verification_metric: str = "psnr_ssim"
+                        ) -> jnp.ndarray:
     """ONE-LAUNCH serving step: slice frame ``idx`` out of the staged
     batch, run the 50-iter mode-2 scan, apply the verification fail-safe,
     return only the final (3, 4) pose.
@@ -223,7 +243,7 @@ def refine_apr_verified(model: NeFeSModel, variables, dfnet, dfnet_vars,
         mask=masks[idx] if has_mask else None,
         freeze_bn=freeze_bn, apr_kind=apr_kind, dataset_type=dataset_type,
         pose_avg=pose_avg)
-    return apply_verification(out) if use_verification \
+    return apply_verification(out, verification_metric) if use_verification \
         else out["refined_pose"]
 
 

@@ -337,6 +337,88 @@ def cmd_mode2(args):
 
 
 # --------------------------------------------------------------------------
+# inscan_ab: kernel-integration A/B inside the REAL refinement scans
+# --------------------------------------------------------------------------
+
+def cmd_inscan_ab(args):
+    """A/B the kernel-integration designs INSIDE the real 50-iteration
+    refinement scans (the KERNEL_r04.json "in_scan_ab_s_per_frame" table):
+
+      unfused    — XLA whole-graph fusion (the shipped default)
+      fused_raw  — raw-input Pallas field kernel (in-kernel trig embed)
+      fused_pre  — pre-embedded Pallas field kernel (XLA embeds)
+      render_pre — pre-embedded composite-fused fine pass (per-RAY outputs)
+
+    Microbenchmarks at the fine-pass shape rank these very differently
+    from the scan (kernelmicro: the pre-embedded kernel's fwd+bwd is ~4x
+    faster than XLA unfused) — this command measures what actually
+    matters: s/frame of the compiled scan, steady-state, deep-queue
+    timed. Mode 3 on refine_pose_single, mode 2 (bf16 DFNet) on
+    refine_apr_single, 7-Scenes geometry."""
+    from dataclasses import replace as dc_replace
+
+    from nefes_tpu.data.synthetic import look_at_pose
+    from nefes_tpu.features.dfnet import DFNet, extract_target_features
+    from nefes_tpu.refine import (
+        RefineConfig, refine_apr_single, refine_pose_single,
+    )
+    from nefes_tpu.train import ModelConfig, NeFeSModel
+
+    print("device:", jax.devices()[0], flush=True)
+    FULL_H, FULL_W = 240, 320
+    cfg = ModelConfig(dtype=jnp.bfloat16)
+    model = NeFeSModel(cfg)
+    variables = model.init_variables(jax.random.key(0))
+    base = cfg.render_config(n_samples=64, n_importance=64,
+                             output_transient=False, test_time=True,
+                             perturb=False, remat=False)
+    variants = {
+        "unfused": base,
+        "fused_raw": dc_replace(base, fused=True, fused_need_dw=False),
+        "fused_pre": dc_replace(base, fused=True, fused_pre=True,
+                                fused_need_dw=False),
+        "render_pre": dc_replace(base, fused=True, fused_pre=True,
+                                 fused_render=True, fused_need_dw=False),
+    }
+    pose = jnp.asarray(look_at_pose(np.array([0.0, 0.3, 2.4], np.float32)))
+    hist = jnp.zeros(10)
+    ws_vec = jnp.asarray([1.0, 1.0, 0.0, 0.0, 0.0])
+    hwf = (H, W, FOCAL)
+    results = {"mode3": {}, "mode2_bf16": {}}
+
+    target = jnp.zeros((H, W, cfg.feature_dim))
+    rfc3 = RefineConfig(opt_iter=50, lr_r=0.0087, lr_t=0.01)
+    for name, rcfg in variants.items():
+        dt = timeit(f"mode-3 scan [{name}]", lambda: refine_pose_single(
+            model, variables, pose, target, hist, ws_vec, hwf, NEAR, FAR,
+            rcfg, rfc3)[1], n=3)
+        results["mode3"][name] = round(dt, 4)
+
+    img = jax.random.uniform(jax.random.key(3), (FULL_H, FULL_W, 3))
+    dfnet = DFNet(output_dim=cfg.feature_dim, dtype=jnp.bfloat16)
+    dfvars = dfnet.init(jax.random.key(1), img[None],
+                        upsample_hw=(FULL_H, FULL_W))
+    tgt = jax.lax.stop_gradient(extract_target_features(
+        dfnet, dfvars, img[None], FULL_H, FULL_W)[0])
+    rfc2 = RefineConfig(opt_iter=50)
+    for name, rcfg in variants.items():
+        dt = timeit(f"mode-2 scan [{name}]", lambda: refine_apr_single(
+            model, variables, dfnet, dfvars, img, tgt, hist, ws_vec,
+            hwf, (FULL_H, FULL_W, FOCAL * 4), NEAR, FAR, rcfg, rfc2,
+            svd_reg=True)["losses"], n=3)
+        results["mode2_bf16"][name] = round(dt, 4)
+
+    out = {"what": "s/frame of the real 50-iter refinement scans per "
+                   "kernel-integration variant (deep-queue timed)",
+           "device": str(jax.devices()[0]),
+           "in_scan_ab_s_per_frame": results}
+    print(json.dumps(out, indent=1))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+
+
+# --------------------------------------------------------------------------
 # accuracy: the HEADLINE pipeline gate (VERDICT r2 item 1)
 # --------------------------------------------------------------------------
 
@@ -873,6 +955,31 @@ def cmd_accuracy(args):
                                  / max(int(degraded.sum()), 1)),
     }
 
+    # ---- alternative retreat proxies, measured on the SAME run (the
+    # shipped default stays the reference's psnr_ssim; the refine CLI's
+    # --verification_metric opts into the winner): "dfm" retreats when
+    # the feature loss itself failed to improve — a signal the reference
+    # never consults (apply_verification, refine/apr_opt.py) ----
+    losses_it = np.asarray(out["losses"])            # (B, iters)
+    prox = {"psnr_ssim": retreated,
+            "dfm": losses_it[:, -1] > losses_it[:, 0]}
+    prox["either"] = prox["psnr_ssim"] | prox["dfm"]
+    proxy_comparison = {}
+    for name, ret in prox.items():
+        sel = np.where(ret[:, None, None], init_poses, refined)
+        e = pose_errors(sel, gt)
+        proxy_comparison[name] = {
+            "retreats": int(ret.sum()),
+            "true_positive": int(np.sum(degraded & ret)),
+            "miss": int(np.sum(degraded & ~ret)),
+            "false_positive": int(np.sum(~degraded & ret)),
+            "median_t_m": float(np.median(e[:, 0])),
+            "median_r_deg": float(np.median(e[:, 1])),
+            "frames_worse_than_init": int(np.sum(
+                e[:, 0] > err_init[:, 0] + 1e-9)),
+        }
+    print("proxy comparison:", json.dumps(proxy_comparison), flush=True)
+
     # ---- mode-3 (SE(3)-delta) evidence on the same field/frames (the
     # r02 harness's mode, kept regenerable after the probe consolidation;
     # reference DFM_post_processing2, DFM_pose_refine.py:350-452) ----
@@ -956,6 +1063,7 @@ def cmd_accuracy(args):
         "frames_worse_after_verification": int(np.sum(
             err_ver[:, 0] > err_init[:, 0] + 1e-9)),
         "verification_confusion": ver_confusion,
+        "proxy_comparison": proxy_comparison,
         "improved_frames_frac": float(np.mean(
             err_ver[:, 0] < err_init[:, 0])),
         "dfm_relief_fused_pct": round(100.0 * (
@@ -1449,6 +1557,8 @@ def main():
     pk = sub.add_parser("kernel")
     pk.add_argument("--sweep", action="store_true")
     sub.add_parser("mode2")
+    pi = sub.add_parser("inscan_ab")
+    pi.add_argument("--out", default="")
     pa = sub.add_parser("accuracy")
     pa.add_argument("--image_h", type=int, default=192)
     pa.add_argument("--image_w", type=int, default=256)
@@ -1516,7 +1626,8 @@ def main():
     args = p.parse_args()
     {"perf": cmd_perf, "kernel": cmd_kernel, "mode2": cmd_mode2,
      "accuracy": cmd_accuracy, "profile": cmd_profile,
-     "golden": cmd_golden, "kernelmicro": cmd_kernelmicro}[args.cmd](args)
+     "golden": cmd_golden, "kernelmicro": cmd_kernelmicro,
+     "inscan_ab": cmd_inscan_ab}[args.cmd](args)
 
 
 if __name__ == "__main__":

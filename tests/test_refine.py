@@ -182,3 +182,42 @@ def test_verification_retreat_logic():
     np.testing.assert_allclose(np.asarray(apply_verification(bad_psnr)), 0.0)
     bad_ssim = {**good, "end_ssim": jnp.asarray(0.2)}
     np.testing.assert_allclose(np.asarray(apply_verification(bad_ssim)), 0.0)
+
+
+def test_verification_metric_variants():
+    base = {"refined_pose": jnp.ones((3, 4)), "initial_pose": jnp.zeros((3, 4)),
+            "init_psnr": jnp.asarray(10.0), "end_psnr": jnp.asarray(15.0),
+            "init_ssim": jnp.asarray(0.5), "end_ssim": jnp.asarray(0.7),
+            "losses": jnp.asarray([0.5, 0.4, 0.3])}
+    # DFM loss improved -> keep, regardless of metric
+    for m in ("psnr_ssim", "dfm", "either"):
+        np.testing.assert_allclose(
+            np.asarray(apply_verification(base, m)), 1.0)
+    # DFM loss degraded but PSNR/SSIM fine: only dfm/either retreat —
+    # the reference's proxy (psnr_ssim) misses it by construction
+    worse_dfm = {**base, "losses": jnp.asarray([0.3, 0.4, 0.5])}
+    np.testing.assert_allclose(
+        np.asarray(apply_verification(worse_dfm, "psnr_ssim")), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(apply_verification(worse_dfm, "dfm")), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(apply_verification(worse_dfm, "either")), 0.0)
+    # PSNR degraded but DFM improved: psnr_ssim/either retreat, dfm keeps
+    worse_psnr = {**base, "end_psnr": jnp.asarray(5.0)}
+    np.testing.assert_allclose(
+        np.asarray(apply_verification(worse_psnr, "dfm")), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(apply_verification(worse_psnr, "either")), 0.0)
+    # batched results broadcast per-frame
+    batched = {
+        "refined_pose": jnp.ones((2, 3, 4)),
+        "initial_pose": jnp.zeros((2, 3, 4)),
+        "init_psnr": jnp.asarray([10.0, 10.0]),
+        "end_psnr": jnp.asarray([15.0, 15.0]),
+        "init_ssim": jnp.asarray([0.5, 0.5]),
+        "end_ssim": jnp.asarray([0.7, 0.7]),
+        "losses": jnp.asarray([[0.5, 0.3], [0.3, 0.5]]),
+    }
+    got = np.asarray(apply_verification(batched, "dfm"))
+    np.testing.assert_allclose(got[0], 1.0)
+    np.testing.assert_allclose(got[1], 0.0)
