@@ -269,15 +269,39 @@ def main(argv=None):
         targets = np.concatenate(targets)
 
         B = max(1, opts.refine_batch)  # cameras refined per launch
-        for i in range(0, n, B):
-            sl = slice(i, min(i + B, n))
+        slices = [slice(i, min(i + B, n)) for i in range(0, n, B)]
+
+        def stage3(sl):
+            """Async host->device staging of the NEXT slice's inputs (same
+            pattern as mode 2 above: device_put returns immediately, so
+            the 2.5 MB/frame render-scale targets stream over the tunnel
+            while the current slice's scan computes)."""
+            return (jax.device_put(init_poses[sl]),
+                    jax.device_put(targets[sl]),
+                    jax.device_put(test.hists[sl]),
+                    None if masks is None else jax.device_put(masks[sl]))
+
+        # bounded in-flight queue: a per-slice np.asarray sync here would
+        # stall dispatch of the next launch behind the current scan (the
+        # mode-2 comment above measures that at ~0.45 s/frame through the
+        # axon tunnel); materialize refined poses LOOKAHEAD launches late
+        LOOKAHEAD = 4
+        pending: list[tuple[slice, object]] = []
+        staged = stage3(slices[0]) if slices else None
+        for si, sl in enumerate(slices):
+            poses_d, tgts_d, hists_d, masks_d = staged
+            staged = stage3(slices[si + 1]) if si + 1 < len(slices) else None
             refined, _ = refine_poses_batch(
-                model, variables, jnp.asarray(init_poses[sl]),
-                jnp.asarray(targets[sl]), jnp.asarray(test.hists[sl]),
-                ws, hwf_render, rcfg_render, rcfg,
-                masks=None if masks is None else jnp.asarray(masks[sl]))
-            out_poses[sl] = np.asarray(refined)
-            print(f"renders {i}/total {n}", flush=True)
+                model, variables, poses_d, tgts_d, hists_d,
+                ws, hwf_render, rcfg_render, rcfg, masks=masks_d)
+            pending.append((sl, refined))
+            while len(pending) > LOOKAHEAD:
+                sl_p, ref_p = pending.pop(0)
+                out_poses[sl_p] = np.asarray(ref_p)
+            if sl.start % 50 == 0:
+                print(f"queued {sl.start}/total {n}", flush=True)
+        for sl_p, ref_p in pending:
+            out_poses[sl_p] = np.asarray(ref_p)
         results = pose_errors(out_poses, test.poses)
 
     dt = time.time() - t0
