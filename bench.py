@@ -187,9 +187,12 @@ def main():
         return out
 
     # ---------------- mode 3 ----------------
+    print("[bench] start: mode 3 (first TPU compile via the remote relay"
+          " can take 10-20 min cold)", flush=True)
     dt3, fl3, loss3 = mode3("7scenes")
     extra["mode3_pose_s_per_frame"] = round(dt3, 4)
     extra["final_loss_mode3"] = loss3
+    print(f"[bench] mode3 7scenes: {dt3:.4f} s/frame", flush=True)
     dt3c, fl3c, _ = mode3("cambridge")
     extra["mode3_cambridge_s_per_frame"] = round(dt3c, 4)
 
@@ -231,11 +234,13 @@ def main():
         extra["mode3_fused_render_s_per_frame"] = None
 
     # ---------------- mode 2 (the paper headline) -----------
+    print("[bench] start: mode 2", flush=True)
     m2 = mode2("7scenes", dtypes=("f32", "bf16"))
     extra["mode2_apr_s_per_frame_f32"] = round(m2["f32"][0], 4)
     extra["mode2_apr_s_per_frame_bf16"] = round(m2["bf16"][0], 4)
     extra["final_loss_mode2_f32"] = m2["f32"][2]
     extra["final_loss_mode2_bf16"] = m2["bf16"][2]
+    print(f"[bench] mode2 7scenes: f32 {m2["f32"][0]:.4f} bf16 {m2["bf16"][0]:.4f} s/frame", flush=True)
     m2c = mode2("cambridge", dtypes=("bf16",))
     extra["mode2_cambridge_s_per_frame_bf16"] = round(m2c["bf16"][0], 4)
     extra["final_loss_mode2_cambridge"] = m2c["bf16"][2]
@@ -385,13 +390,16 @@ def main():
     # ---------------- CLI serving path (cli/refine.py end-to-end) --------
     if SMOKE:
         extra["cli_s_per_frame"] = None
+        extra["cli_mode3_s_per_frame"] = None
     else:
-        try:
-            cli = bench_cli_serving()
-            extra.update(cli)
-        except Exception as e:
-            print(f"[bench] cli serving bench failed: {e}")
-            extra["cli_s_per_frame"] = None
+        for mode in (2, 3):
+            try:
+                extra.update(bench_cli_serving(pose_only=mode))
+            except Exception as e:
+                print(f"[bench] cli serving bench (mode {mode}) "
+                      f"failed: {e}")
+                pre = "cli" if mode == 2 else "cli_mode3"
+                extra[f"{pre}_s_per_frame"] = None
 
     # README.md's perf table is GENERATED from these rows (VERDICT r3
     # weak #6: hand-copied numbers drifted from the evidence files) —
@@ -418,6 +426,8 @@ def main():
         row("mode 2 batched x4 (regression guard)",
             "mode2_batched4_s_per_frame"),
         row("CLI serving, end-to-end marginal", "cli_s_per_frame"),
+        row("CLI serving mode 3, end-to-end marginal",
+            "cli_mode3_s_per_frame"),
         row("training throughput", "train_rays_per_sec", unit="rays/s",
             fmt="{:.0f}"),
         row("mode-2 bf16 MFU", "mode2_bf16_mfu", unit="", fmt="{:.3f}"),
@@ -434,24 +444,26 @@ def main():
     print(json.dumps(result))
 
 
-def bench_cli_serving() -> dict:
-    """Serving-path cost through cli/refine.py (mode 2, verification on,
-    refine_batch=1 — serial-with-prefetch, the measured optimum; see the
-    mode2_batched4 finding) on on-disk fixtures at the 7-Scenes geometry
-    (480x640 pngs, df=2 -> 240x320). Runs 8-frame then 16-frame fixtures (the
-    first also compiles every executable); reports the MARGINAL rate
-    (T16 - T8) / 8 — the steady-state per-frame serving cost with the
-    run-level fixed costs (scene load, model/DFNet init, txt dump)
-    removed — plus the fixed overhead itself for transparency."""
+def bench_cli_serving(pose_only: int = 2) -> dict:
+    """Serving-path cost through cli/refine.py (verification on for mode
+    2, refine_batch=1 — serial-with-prefetch, the measured optimum; see
+    the mode2_batched4 finding) on on-disk fixtures at the 7-Scenes
+    geometry (480x640 pngs, df=2 -> 240x320). Runs 8-frame then 16-frame
+    fixtures (the first also compiles every executable); reports the
+    MARGINAL rate (T16 - T8) / 8 — the steady-state per-frame serving
+    cost with the run-level fixed costs (scene load, model/DFNet init,
+    txt dump) removed — plus the fixed overhead itself for transparency.
+    pose_only=3 measures the mode-3 serving loop (APR init + SE(3)-delta
+    scans, pipelined staging like mode 2)."""
     import shutil
     import sys
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from tests.fixture_datasets import make_7scenes_fixture
     from nefes_tpu.cli.refine import main as refine_main
 
-    base = "/tmp/bench_cli_fixture"
+    base = f"/tmp/bench_cli_fixture_m{pose_only}"
     args_common = [
-        "--dataset_type", "7Scenes", "--pose_only", "2",
+        "--dataset_type", "7Scenes", "--pose_only", str(pose_only),
         "--df", "2", "--tinyscale", "4",
         "--opt_iter", str(OPT_ITER), "--refine_batch", "1",
         "--apr_compute_dtype", "bfloat16", "--svd_reg", "true",
@@ -472,9 +484,10 @@ def bench_cli_serving() -> dict:
 
     t8, t16 = run(8), run(16)
     rate = (t16 - t8) / 8.0
-    return {"cli_s_per_frame": round(rate, 4),
-            "cli_fixed_overhead_s": round(t8 - 8 * rate, 2),
-            "cli_total_16_frames_s": round(t16, 2)}
+    pre = "cli" if pose_only == 2 else "cli_mode3"
+    return {f"{pre}_s_per_frame": round(rate, 4),
+            f"{pre}_fixed_overhead_s": round(t8 - 8 * rate, 2),
+            f"{pre}_total_16_frames_s": round(t16, 2)}
 
 
 if __name__ == "__main__":
