@@ -4,7 +4,11 @@
     python runtime/probe.py kernel      # Pallas kernel parity + timing
     python runtime/probe.py kernel --sweep   # tile-size sweep
     python runtime/probe.py mode2       # f32-vs-bf16 APR tower A/B
-    python runtime/probe.py accuracy    # HEADLINE accuracy gate -> ACCURACY_r03.json
+    python runtime/probe.py accuracy    # HEADLINE accuracy gate -> ACCURACY_r04.json
+    python runtime/probe.py profile     # xplane scan trace -> PROFILE_r04.json
+    python runtime/probe.py kernelmicro # Pallas ablation microbenches
+    python runtime/probe.py inscan_ab   # kernel-integration A/B in the real scans
+    python runtime/probe.py golden ...  # paper-parity acceptance run
 
 One entry point so every evidence file shares the same timing discipline:
 compile + steady-state warmup (the first post-compile execution on the
