@@ -478,9 +478,12 @@ def bench_cli_serving(pose_only: int = 2) -> dict:
         argv = args_common + ["--datadir", paths["datadir"],
                               "--data_root", paths["data_root"]]
         refine_main(argv)          # compile/warm this frame count's shapes
-        t0 = time.perf_counter()
-        refine_main(argv)
-        return time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(2):         # min-of-2: the marginal rate below
+            t0 = time.perf_counter()   # differences two wall-clocks, and
+            refine_main(argv)          # single runs on the shared tunneled
+            best = min(best, time.perf_counter() - t0)  # chip vary ~20%
+        return best
 
     t8, t16 = run(8), run(16)
     rate = (t16 - t8) / 8.0
