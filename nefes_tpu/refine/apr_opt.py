@@ -259,7 +259,8 @@ def refine_apr_batch(model: NeFeSModel, variables, dfnet, dfnet_vars,
     serially, DFM_APR_refine.py:204).
 
     MEASURED (BENCH_r03/r04, v5e): batching mode 2 is a PESSIMIZATION —
-    B=4 ran 1.85 s/frame vs 1.38 serial, because each frame in the batch
+    B=4 ran 1.85 s/frame vs 1.38 serial in r3 and 1.59 vs 1.12 at the
+    end of r4 (BENCH_r04_local.json), because each frame in the batch
     carries its own VGG16 param + Adam-state copies (~180 MB HBM/frame)
     and the optimizer/param traffic scales with B while the per-launch
     fixed cost it amortises is small. Serial-with-prefetch
