@@ -31,14 +31,27 @@ frame on an RTX 3090 at 35.6 TFLOP/s fp32 peak x 13% utilisation
 speed-of-light bound F/peak is also reported). The >=5x north-star means
 vs_baseline >= 5.
 
-Also measures the SERVING path: cli/refine.py end-to-end (dataset load,
-DFNet target precompute, async host->device staging, batched refinement
-with verification, txt dump) amortised over a 16-frame fixture at the
-7-Scenes geometry -> `cli_s_per_frame`.
+Harness contract (the driver runs `python bench.py` under a timeout and
+parses the LAST JSON line of stdout): the headline record is printed as
+soon as the CORE scan legs finish, then each OPTIONAL leg (CLI serving,
+training throughput, batched / fused regression guards) runs only if the
+time budget allows and RE-prints the updated record, so the output always
+ends near a complete JSON line no matter where a timeout lands. Budget:
+NEFES_BENCH_BUDGET_S (default 2700 s — under the driver's observed
+timeout; BENCH_r04.json rc=124 is the failure mode this structure fixes).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+Also measures the SERVING path: cli/refine.py end-to-end (dataset load,
+DFNet target precompute, async host->device staging, refinement with
+verification, txt dump) over a 16-frame fixture at the 7-Scenes geometry
+-> `cli_s_per_frame` (one warm timed run; r4's min-of-2 marginal-rate
+estimator cost 12 CLI invocations and timed the driver out without
+stabilising the estimate — BENCH_r04_local.json cli_uncontended).
+
+Prints ONE JSON line (re-printed as legs complete):
+{"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
+import io
 import json
 import os
 import time
@@ -55,6 +68,9 @@ OPT_ITER = 50
 FRAMES_TO_TIME = 3
 NEAR, FAR = 0.0, 4.0
 
+T0_WALL = time.time()
+BUDGET_S = float(os.environ.get("NEFES_BENCH_BUDGET_S", "2700"))
+
 # NEFES_BENCH_SMOKE=1: tiny iteration counts + skip the CLI leg — a
 # minutes-scale end-to-end validation of this script after edits (the
 # real numbers still come from the full run; compiles dominate either way)
@@ -68,6 +84,23 @@ GEOMS = {
     "7scenes": (60, 80, 240, 320, 525.505 / 2 / 4),
     "cambridge": (60, 107, 240, 427, 744.0 / 2 / 4),
 }
+
+
+def remaining_s() -> float:
+    return BUDGET_S - (time.time() - T0_WALL)
+
+
+def leg_fits(name: str, est_s: float, extra: dict) -> bool:
+    """True if the optional leg's cold-cost estimate fits the remaining
+    budget; otherwise record the skip so the evidence says why."""
+    if remaining_s() > est_s:
+        return True
+    skipped = extra.setdefault("skipped_legs", [])
+    skipped.append({"leg": name, "est_s": est_s,
+                    "remaining_s": round(remaining_s(), 1)})
+    print(f"[bench] SKIP {name}: est {est_s:.0f}s > "
+          f"remaining {remaining_s():.0f}s", flush=True)
+    return False
 
 
 def flops_of(lowered, loop_trips: int = 1) -> float:
@@ -113,9 +146,48 @@ def main():
     extra = {"device": str(dev), "opt_iter": OPT_ITER,
              "samples_per_ray": [64, 128],
              "peak_v5e_bf16_tflops": PEAK_V5E_BF16 / 1e12,
+             "budget_s": BUDGET_S,
              "baseline_derivation":
                  "torch_est_s = flops/frame / (35.6e12 fp32 * 0.13 util); "
                  "see BASELINE.md"}
+
+    def perf_fields(prefix, dt, fl):
+        if fl <= 0 or dt <= 0:
+            return
+        extra[f"{prefix}_tflop_per_frame"] = round(fl / 1e12, 2)
+        extra[f"{prefix}_achieved_tflops"] = round(fl / dt / 1e12, 1)
+        extra[f"{prefix}_mfu"] = round(fl / dt / PEAK_V5E_BF16, 3)
+        extra[f"{prefix}_torch_est_s"] = round(
+            fl / (PEAK_3090_F32 * TORCH_UTIL), 2)
+        extra[f"{prefix}_torch_sol_s"] = round(fl / PEAK_3090_F32, 2)
+
+    def emit():
+        """(Re-)print the result record with everything measured so far.
+        The driver parses the last JSON line, so each call supersedes the
+        previous one; a timeout mid-leg leaves the latest complete record
+        on stdout."""
+        best = extra.get("mode2_apr_s_per_frame_bf16")
+        f32 = extra.get("mode2_apr_s_per_frame_f32")
+        if f32 is not None:
+            best = f32 if best is None else min(best, f32)
+        b4 = extra.get("mode2_batched4_s_per_frame")
+        if best is not None and b4:
+            # headline = best measured configuration (serial has won every
+            # round so far; the min() guards the day a batched config wins)
+            best = min(best, b4)
+        torch_est = extra.get("mode2_bf16_torch_est_s", 10.0)
+        extra["reference_estimate_s"] = torch_est
+        extra["bench_elapsed_s"] = round(time.time() - T0_WALL, 1)
+        result = {
+            "metric": "nefes50_apr_refine_per_frame",
+            "value": round(best, 4) if best is not None else None,
+            "unit": "s/frame",
+            "vs_baseline": (round(torch_est / best, 2)
+                            if best else None),
+            "extra": extra,
+        }
+        print(json.dumps(result), flush=True)
+        return result
 
     def mode3(geom_key):
         H, W, _, _, FOCAL = GEOMS[geom_key]
@@ -186,105 +258,101 @@ def main():
             out[dt_name] = (el, fl, float(np.asarray(o["losses"])[-1]))
         return out
 
-    # ---------------- mode 3 ----------------
+    # ================= CORE LEGS (always run, headline after) ===========
     print("[bench] start: mode 3 (first TPU compile via the remote relay"
           " can take 10-20 min cold)", flush=True)
     dt3, fl3, loss3 = mode3("7scenes")
     extra["mode3_pose_s_per_frame"] = round(dt3, 4)
     extra["final_loss_mode3"] = loss3
+    perf_fields("mode3", dt3, fl3)
+    H, W = GEOMS["7scenes"][:2]
+    extra["rays_per_sec_per_chip_mode3"] = int(H * W * OPT_ITER / dt3)
+    extra["render_hw"] = [H, W]
     print(f"[bench] mode3 7scenes: {dt3:.4f} s/frame", flush=True)
-    dt3c, fl3c, _ = mode3("cambridge")
-    extra["mode3_cambridge_s_per_frame"] = round(dt3c, 4)
 
-    # ---- mode 3 with the Pallas fused refinement render — the PRE-
-    # EMBEDDED composite-fused variant (XLA embeds, kernel runs tower +
-    # heads + in-kernel composite, per-ray outputs): the best-measured
-    # kernel config, at parity with the unfused scan (r4 in-scan A/B:
-    # 0.964 vs 0.965 s/frame; the raw-input variant pays its in-kernel
-    # trig twice under value_and_grad and loses, KERNEL_r04.json) ----
-    try:
-        from dataclasses import replace as dc_replace
-        rcfg_render_fused = dc_replace(rcfg_render, fused=True,
-                                       fused_pre=True,
-                                       fused_need_dw=False,
-                                       fused_render=True)
-        H, W, _, _, FOCAL = GEOMS["7scenes"]
-        hwf = (H, W, FOCAL)
-        _, targetf = render_feature_image(model, variables, pose, hist,
-                                          hwf, NEAR, FAR, rcfg_render)
-        targetf = jax.lax.stop_gradient(targetf)
-
-        def run3f(p):
-            return refine_pose_single(model, variables, p, targetf, hist,
-                                      ws_vec, hwf, NEAR, FAR,
-                                      rcfg_render_fused, rcfg)
-        for w in range(2):
-            _, lf = run3f(pose + 1e-5 * w)
-            float(lf[-1])
-        t0 = time.perf_counter()
-        for i in range(FRAMES_TO_TIME):
-            _, lf = run3f(pose + 1e-4 * (i + 1))
-            float(lf[-1])
-        extra["mode3_fused_render_s_per_frame"] = round(
-            (time.perf_counter() - t0) / FRAMES_TO_TIME, 4)
-        extra["final_loss_mode3_fused"] = float(np.asarray(lf)[-1])
-        del targetf
-    except Exception as e:
-        print(f"[bench] fused-render mode-3 failed: {e}")
-        extra["mode3_fused_render_s_per_frame"] = None
-
-    # ---------------- mode 2 (the paper headline) -----------
-    print("[bench] start: mode 2", flush=True)
+    print("[bench] start: mode 2 (headline)", flush=True)
     m2 = mode2("7scenes", dtypes=("f32", "bf16"))
     extra["mode2_apr_s_per_frame_f32"] = round(m2["f32"][0], 4)
     extra["mode2_apr_s_per_frame_bf16"] = round(m2["bf16"][0], 4)
     extra["final_loss_mode2_f32"] = m2["f32"][2]
     extra["final_loss_mode2_bf16"] = m2["bf16"][2]
-    print(f"[bench] mode2 7scenes: f32 {m2["f32"][0]:.4f} bf16 {m2["bf16"][0]:.4f} s/frame", flush=True)
+    perf_fields("mode2_bf16", m2["bf16"][0], m2["bf16"][1])
+    print(f"[bench] mode2 7scenes: f32 {m2['f32'][0]:.4f} "
+          f"bf16 {m2['bf16'][0]:.4f} s/frame", flush=True)
+    emit()   # first complete headline record
+
+    dt3c, fl3c, _ = mode3("cambridge")
+    extra["mode3_cambridge_s_per_frame"] = round(dt3c, 4)
+    perf_fields("mode3_cambridge", dt3c, fl3c)
     m2c = mode2("cambridge", dtypes=("bf16",))
     extra["mode2_cambridge_s_per_frame_bf16"] = round(m2c["bf16"][0], 4)
     extra["final_loss_mode2_cambridge"] = m2c["bf16"][2]
+    perf_fields("mode2_cambridge", m2c["bf16"][0], m2c["bf16"][1])
+    extra["cambridge_render_hw"] = list(GEOMS["cambridge"][:2])
+    emit()
 
-    # ---------------- mode 2 BATCHED (measured pessimization) ------------
-    # vmapping B frames carries B copies of the VGG16 params + Adam state;
-    # measured 1.85 s/frame at B=4 vs 1.38 serial (BENCH_r03) — kept as a
-    # regression guard for that finding. The shipped serving config is
-    # serial-with-prefetch (refine_batch=1, cli/refine.py).
-    def mode2_batched(geom_key, B=4):
-        from nefes_tpu.refine import refine_apr_batch
-        H, W, FULL_H, FULL_W, FOCAL = GEOMS[geom_key]
+    # ================= OPTIONAL LEGS (budget-gated, emit after each) ====
+
+    # ---------------- CLI serving path (cli/refine.py end-to-end) --------
+    if SMOKE:
+        extra["cli_s_per_frame"] = None
+        extra["cli_mode3_s_per_frame"] = None
+    else:
+        for mode, est in ((2, 420.0), (3, 330.0)):
+            pre = "cli" if mode == 2 else "cli_mode3"
+            if not leg_fits(f"cli_mode{mode}", est, extra):
+                extra[f"{pre}_s_per_frame"] = None
+                continue
+            try:
+                extra.update(bench_cli_serving(pose_only=mode))
+                scan = dt3 if mode == 3 else m2["bf16"][0]
+                extra[f"{pre}_overhead_vs_scan_x"] = round(
+                    extra[f"{pre}_s_per_frame"] / scan, 3)
+            except Exception as e:
+                print(f"[bench] cli serving bench (mode {mode}) "
+                      f"failed: {e}")
+                extra[f"{pre}_s_per_frame"] = None
+            emit()
+
+    # ---------------- training throughput (paper config) -----------------
+    if leg_fits("train_throughput", 240.0, extra):
+        from nefes_tpu.train import (
+            create_train_state, make_optimizer, train_step_rays,
+        )
+        tx = make_optimizer()
+        state = create_train_state(model, jax.random.key(4), tx)
+        tr_cfg = cfg.render_config(n_samples=64, n_importance=64,
+                                   remat=False)
+        Bt, n_rand = 4, 1536
+        FOCAL = GEOMS["7scenes"][4]
         hwf = (H, W, FOCAL)
-        hwf_full = (FULL_H, FULL_W, FOCAL * 4)
-        imgs = jax.random.uniform(jax.random.key(9), (B, FULL_H, FULL_W, 3))
-        dfnet = DFNet(output_dim=cfg.feature_dim, dtype=jnp.bfloat16)
-        dfvars = dfnet.init(jax.random.key(1), imgs[:1],
-                            upsample_hw=(FULL_H, FULL_W))
-        tgts = jax.lax.stop_gradient(extract_target_features(
-            dfnet, dfvars, imgs, FULL_H, FULL_W))
-        hists = jnp.zeros((B, 10))
-
-        def run(ims):
-            return refine_apr_batch(model, variables, dfnet, dfvars, ims,
-                                    tgts, hists, ws_vec, hwf, hwf_full,
-                                    NEAR, FAR, rcfg_render, rcfg,
-                                    svd_reg=True)
-        for w in range(2):
-            o = run(jnp.clip(imgs + 1e-5 * w, 0.0, 1.0))
-            float(o["losses"][-1, -1])
+        batch = {
+            "rgb": jax.random.uniform(jax.random.key(5), (Bt, H, W, 3)),
+            "poses": jnp.broadcast_to(pose, (Bt, 3, 4)),
+            "hists": jnp.zeros((Bt, 10)),
+            "feat": jax.random.normal(jax.random.key(6),
+                                      (Bt, H, W, cfg.feature_dim)),
+        }
+        state, tl, _ = train_step_rays(model, tr_cfg, tx, state, batch,
+                                       jax.random.key(7),
+                                       jnp.asarray(5e-4),
+                                       hwf, NEAR, FAR, n_rand=n_rand,
+                                       stage=1)
+        float(tl)
         t0 = time.perf_counter()
-        for i in range(FRAMES_TO_TIME):
-            o = run(jnp.clip(imgs + 1e-4 * (i + 1), 0.0, 1.0))
-            float(o["losses"][-1, -1])
-        return (time.perf_counter() - t0) / FRAMES_TO_TIME / B
+        steps = 8
+        for i in range(steps):
+            state, tl, _ = train_step_rays(model, tr_cfg, tx, state, batch,
+                                           jax.random.key(8 + i),
+                                           jnp.asarray(5e-4), hwf, NEAR,
+                                           FAR, n_rand=n_rand, stage=1)
+        float(tl)
+        extra["train_rays_per_sec"] = int(
+            Bt * n_rand * steps / (time.perf_counter() - t0))
+        del state, batch
+        emit()
 
-    try:
-        extra["mode2_batched4_s_per_frame"] = round(
-            mode2_batched("7scenes", B=4), 4)
-    except Exception as e:   # HBM-bound configurations must not kill bench
-        print(f"[bench] batched mode-2 failed: {e}")
-        extra["mode2_batched4_s_per_frame"] = None
-
-    # ---------------- mode 3 BATCHED ----------------
+    # ---------------- mode 3 BATCHED (regression guard) ----------------
     # mode 3's per-frame state is just (r, t) + Adam moments — vmapping
     # frames adds MXU work without the mode-2 param-copy traffic, so
     # batching could plausibly win. MEASURED (r4, v5e): it does NOT —
@@ -319,87 +387,94 @@ def main():
             float(ls[-1, -1])
         return (time.perf_counter() - t0) / FRAMES_TO_TIME / B
 
-    try:
-        extra["mode3_batched4_s_per_frame"] = round(
-            mode3_batched("7scenes", B=4), 4)
-    except Exception as e:
-        print(f"[bench] batched mode-3 failed: {e}")
-        extra["mode3_batched4_s_per_frame"] = None
+    if leg_fits("mode3_batched4", 300.0, extra):
+        try:
+            extra["mode3_batched4_s_per_frame"] = round(
+                mode3_batched("7scenes", B=4), 4)
+        except Exception as e:
+            print(f"[bench] batched mode-3 failed: {e}")
+            extra["mode3_batched4_s_per_frame"] = None
+        emit()
 
-    # ---------------- FLOPs / MFU / derived baselines -----------
-    def perf_fields(prefix, dt, fl):
-        if fl <= 0 or dt <= 0:
-            return
-        extra[f"{prefix}_tflop_per_frame"] = round(fl / 1e12, 2)
-        extra[f"{prefix}_achieved_tflops"] = round(fl / dt / 1e12, 1)
-        extra[f"{prefix}_mfu"] = round(fl / dt / PEAK_V5E_BF16, 3)
-        extra[f"{prefix}_torch_est_s"] = round(
-            fl / (PEAK_3090_F32 * TORCH_UTIL), 2)
-        extra[f"{prefix}_torch_sol_s"] = round(fl / PEAK_3090_F32, 2)
+    # ---------------- mode 2 BATCHED (measured pessimization) ------------
+    # vmapping B frames carries B copies of the VGG16 params + Adam state;
+    # measured 1.85 s/frame at B=4 vs 1.38 serial (BENCH_r03) — kept as a
+    # regression guard for that finding. The shipped serving config is
+    # serial-with-prefetch (refine_batch=1, cli/refine.py).
+    def mode2_batched(geom_key, B=4):
+        from nefes_tpu.refine import refine_apr_batch
+        H, W, FULL_H, FULL_W, FOCAL = GEOMS[geom_key]
+        hwf = (H, W, FOCAL)
+        hwf_full = (FULL_H, FULL_W, FOCAL * 4)
+        imgs = jax.random.uniform(jax.random.key(9), (B, FULL_H, FULL_W, 3))
+        dfnet = DFNet(output_dim=cfg.feature_dim, dtype=jnp.bfloat16)
+        dfvars = dfnet.init(jax.random.key(1), imgs[:1],
+                            upsample_hw=(FULL_H, FULL_W))
+        tgts = jax.lax.stop_gradient(extract_target_features(
+            dfnet, dfvars, imgs, FULL_H, FULL_W))
+        hists = jnp.zeros((B, 10))
 
-    perf_fields("mode3", dt3, fl3)
-    perf_fields("mode3_cambridge", dt3c, fl3c)
-    perf_fields("mode2_bf16", m2["bf16"][0], m2["bf16"][1])
-    perf_fields("mode2_cambridge", m2c["bf16"][0], m2c["bf16"][1])
+        def run(ims):
+            return refine_apr_batch(model, variables, dfnet, dfvars, ims,
+                                    tgts, hists, ws_vec, hwf, hwf_full,
+                                    NEAR, FAR, rcfg_render, rcfg,
+                                    svd_reg=True)
+        for w in range(2):
+            o = run(jnp.clip(imgs + 1e-5 * w, 0.0, 1.0))
+            float(o["losses"][-1, -1])
+        t0 = time.perf_counter()
+        for i in range(FRAMES_TO_TIME):
+            o = run(jnp.clip(imgs + 1e-4 * (i + 1), 0.0, 1.0))
+            float(o["losses"][-1, -1])
+        return (time.perf_counter() - t0) / FRAMES_TO_TIME / B
 
-    best = min(m2["f32"][0], m2["bf16"][0])
-    if extra.get("mode2_batched4_s_per_frame"):
-        # headline = best measured configuration (serial has won every
-        # round so far; the min() guards the day a batched config wins)
-        best = min(best, extra["mode2_batched4_s_per_frame"])
-    torch_est = extra.get("mode2_bf16_torch_est_s", 10.0)
-    extra["reference_estimate_s"] = torch_est
-    H, W = GEOMS["7scenes"][:2]
-    extra["rays_per_sec_per_chip_mode3"] = int(H * W * OPT_ITER / dt3)
-    extra["render_hw"] = [H, W]
-    extra["cambridge_render_hw"] = list(GEOMS["cambridge"][:2])
+    if leg_fits("mode2_batched4", 360.0, extra):
+        try:
+            extra["mode2_batched4_s_per_frame"] = round(
+                mode2_batched("7scenes", B=4), 4)
+        except Exception as e:   # HBM-bound configs must not kill bench
+            print(f"[bench] batched mode-2 failed: {e}")
+            extra["mode2_batched4_s_per_frame"] = None
+        emit()
 
-    # ---------------- training throughput (paper config) -----------------
-    from nefes_tpu.train import (
-        create_train_state, make_optimizer, train_step_rays,
-    )
-    tx = make_optimizer()
-    state = create_train_state(model, jax.random.key(4), tx)
-    tr_cfg = cfg.render_config(n_samples=64, n_importance=64, remat=False)
-    Bt, n_rand = 4, 1536
-    FOCAL = GEOMS["7scenes"][4]
-    hwf = (H, W, FOCAL)
-    batch = {
-        "rgb": jax.random.uniform(jax.random.key(5), (Bt, H, W, 3)),
-        "poses": jnp.broadcast_to(pose, (Bt, 3, 4)),
-        "hists": jnp.zeros((Bt, 10)),
-        "feat": jax.random.normal(jax.random.key(6),
-                                  (Bt, H, W, cfg.feature_dim)),
-    }
-    state, tl, _ = train_step_rays(model, tr_cfg, tx, state, batch,
-                                   jax.random.key(7), jnp.asarray(5e-4),
-                                   hwf, NEAR, FAR, n_rand=n_rand, stage=1)
-    float(tl)
-    t0 = time.perf_counter()
-    steps = 8
-    for i in range(steps):
-        state, tl, _ = train_step_rays(model, tr_cfg, tx, state, batch,
-                                       jax.random.key(8 + i),
-                                       jnp.asarray(5e-4), hwf, NEAR, FAR,
-                                       n_rand=n_rand, stage=1)
-    float(tl)
-    extra["train_rays_per_sec"] = int(
-        Bt * n_rand * steps / (time.perf_counter() - t0))
-    del state, batch
+    # ---- mode 3 with the Pallas fused refinement render — the PRE-
+    # EMBEDDED composite-fused variant (XLA embeds, kernel runs tower +
+    # heads + in-kernel composite, per-ray outputs): the best-measured
+    # kernel config, at parity with the unfused scan (r4 in-scan A/B:
+    # 0.964 vs 0.965 s/frame; the raw-input variant pays its in-kernel
+    # trig twice under value_and_grad and loses, KERNEL_r04.json) ----
+    if leg_fits("mode3_fused_render", 600.0, extra):
+        try:
+            from dataclasses import replace as dc_replace
+            rcfg_render_fused = dc_replace(rcfg_render, fused=True,
+                                           fused_pre=True,
+                                           fused_need_dw=False,
+                                           fused_render=True)
+            Hs, Ws, _, _, FOCAL = GEOMS["7scenes"]
+            hwf = (Hs, Ws, FOCAL)
+            _, targetf = render_feature_image(model, variables, pose, hist,
+                                              hwf, NEAR, FAR, rcfg_render)
+            targetf = jax.lax.stop_gradient(targetf)
 
-    # ---------------- CLI serving path (cli/refine.py end-to-end) --------
-    if SMOKE:
-        extra["cli_s_per_frame"] = None
-        extra["cli_mode3_s_per_frame"] = None
-    else:
-        for mode in (2, 3):
-            try:
-                extra.update(bench_cli_serving(pose_only=mode))
-            except Exception as e:
-                print(f"[bench] cli serving bench (mode {mode}) "
-                      f"failed: {e}")
-                pre = "cli" if mode == 2 else "cli_mode3"
-                extra[f"{pre}_s_per_frame"] = None
+            def run3f(p):
+                return refine_pose_single(model, variables, p, targetf,
+                                          hist, ws_vec, hwf, NEAR, FAR,
+                                          rcfg_render_fused, rcfg)
+            for w in range(2):
+                _, lf = run3f(pose + 1e-5 * w)
+                float(lf[-1])
+            t0 = time.perf_counter()
+            for i in range(FRAMES_TO_TIME):
+                _, lf = run3f(pose + 1e-4 * (i + 1))
+                float(lf[-1])
+            extra["mode3_fused_render_s_per_frame"] = round(
+                (time.perf_counter() - t0) / FRAMES_TO_TIME, 4)
+            extra["final_loss_mode3_fused"] = float(np.asarray(lf)[-1])
+            del targetf
+        except Exception as e:
+            print(f"[bench] fused-render mode-3 failed: {e}")
+            extra["mode3_fused_render_s_per_frame"] = None
+        emit()
 
     # README.md's perf table is GENERATED from these rows (VERDICT r3
     # weak #6: hand-copied numbers drifted from the evidence files) —
@@ -425,8 +500,8 @@ def main():
         row("mode 3 batched x4", "mode3_batched4_s_per_frame"),
         row("mode 2 batched x4 (regression guard)",
             "mode2_batched4_s_per_frame"),
-        row("CLI serving, end-to-end marginal", "cli_s_per_frame"),
-        row("CLI serving mode 3, end-to-end marginal",
+        row("CLI serving, end-to-end per frame", "cli_s_per_frame"),
+        row("CLI serving mode 3, end-to-end per frame",
             "cli_mode3_s_per_frame"),
         row("training throughput", "train_rays_per_sec", unit="rays/s",
             fmt="{:.0f}"),
@@ -434,62 +509,64 @@ def main():
         "<!-- /bench-table -->",
     ]))
 
-    result = {
-        "metric": "nefes50_apr_refine_per_frame",
-        "value": round(best, 4),
-        "unit": "s/frame",
-        "vs_baseline": round(torch_est / best, 2),
-        "extra": extra,
-    }
-    print(json.dumps(result))
+    return emit()   # final (complete) record is the last stdout line
 
 
 def bench_cli_serving(pose_only: int = 2) -> dict:
     """Serving-path cost through cli/refine.py (verification on for mode
     2, refine_batch=1 — serial-with-prefetch, the measured optimum; see
     the mode2_batched4 finding) on on-disk fixtures at the 7-Scenes
-    geometry (480x640 pngs, df=2 -> 240x320). Runs 8-frame then 16-frame
-    fixtures (the first also compiles every executable); reports the
-    MARGINAL rate (T16 - T8) / 8 — the steady-state per-frame serving
-    cost with the run-level fixed costs (scene load, model/DFNet init,
-    txt dump) removed — plus the fixed overhead itself for transparency.
+    geometry (480x640 pngs, df=2 -> 240x320). One 16-frame fixture, one
+    warm-up invocation (compiles every executable), ONE timed invocation:
+    cli_s_per_frame = T16/16. The run-level fixed costs (scene load,
+    model/DFNet init, txt dump) are ~0.4-1 s total (measured r4), i.e.
+    <0.07 s/frame at 16 frames — included, which only makes the number
+    conservative. (r4's (T16-T8)/8 min-of-2 marginal estimator cost 12
+    CLI invocations, still varied 1.54-1.91 s run-to-run on the shared
+    tunneled chip, and pushed the driver past its timeout.)
     pose_only=3 measures the mode-3 serving loop (APR init + SE(3)-delta
-    scans, pipelined staging like mode 2)."""
+    scans, pipelined staging like mode 2).
+
+    Per-frame progress prints are captured to keep the driver's stdout
+    tail anchored on the JSON record lines."""
+    import contextlib
     import shutil
     import sys
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from tests.fixture_datasets import make_7scenes_fixture
     from nefes_tpu.cli.refine import main as refine_main
 
-    base = f"/tmp/bench_cli_fixture_m{pose_only}"
-    args_common = [
+    frames = 16
+    root = f"/tmp/bench_cli_fixture_m{pose_only}_{frames}"
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    paths = make_7scenes_fixture(root, frames_per_seq=frames,
+                                 img_hw=(480, 640))
+    argv = [
         "--dataset_type", "7Scenes", "--pose_only", str(pose_only),
         "--df", "2", "--tinyscale", "4",
         "--opt_iter", str(OPT_ITER), "--refine_batch", "1",
         "--apr_compute_dtype", "bfloat16", "--svd_reg", "true",
+        "--save_dir", f"/tmp/bench_cli_out_m{pose_only}",
+        "--datadir", paths["datadir"], "--data_root", paths["data_root"],
     ]
 
-    def run(frames):
-        root = f"{base}_{frames}"
-        if os.path.isdir(root):
-            shutil.rmtree(root)
-        paths = make_7scenes_fixture(root, frames_per_seq=frames,
-                                     img_hw=(480, 640))
-        argv = args_common + ["--datadir", paths["datadir"],
-                              "--data_root", paths["data_root"]]
-        refine_main(argv)          # compile/warm this frame count's shapes
-        best = float("inf")
-        for _ in range(2):         # min-of-2: the marginal rate below
-            t0 = time.perf_counter()   # differences two wall-clocks, and
-            refine_main(argv)          # single runs on the shared tunneled
-            best = min(best, time.perf_counter() - t0)  # chip vary ~20%
-        return best
+    def run():
+        buf = io.StringIO()
+        t0 = time.perf_counter()
+        try:
+            with contextlib.redirect_stdout(buf):
+                refine_main(argv)
+        except Exception:
+            print(buf.getvalue()[-2000:])
+            raise
+        return time.perf_counter() - t0
 
-    t8, t16 = run(8), run(16)
-    rate = (t16 - t8) / 8.0
+    run()                        # compile + warm every executable
+    t16 = run()                  # one timed steady-state invocation
     pre = "cli" if pose_only == 2 else "cli_mode3"
-    return {f"{pre}_s_per_frame": round(rate, 4),
-            f"{pre}_fixed_overhead_s": round(t8 - 8 * rate, 2),
+    print(f"[bench] {pre}: {t16:.2f}s / {frames} frames", flush=True)
+    return {f"{pre}_s_per_frame": round(t16 / frames, 4),
             f"{pre}_total_16_frames_s": round(t16, 2)}
 
 

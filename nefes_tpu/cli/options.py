@@ -158,6 +158,12 @@ class Options:
     freezeBN: bool = False
     feature_matching_lvl: tuple = (0,)
 
+    # output directory for the refined-pose txt dump (cli/refine.py).
+    # Empty -> the reference's layout tmp/<APR>_NeFeS<iters>_<dataset>/
+    # <scene>/ (test_refinement.py's save path). Benchmarks point this at
+    # /tmp so fixture runs never churn files under the repo.
+    save_dir: str = ""
+
     # eval / render
     render_test: bool = False
     # mp4 artifacts (reference options.py:19,23-24): *_video_* write the

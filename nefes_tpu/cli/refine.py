@@ -234,7 +234,7 @@ def main(argv=None):
                 pending.append((sl, poses))
             while len(pending) > LOOKAHEAD:
                 drain(pending.pop(0))
-            if sl.start % 50 == 0:
+            if si % max(1, 50 // B) == 0:
                 print(f"queued {sl.start}/total {n}", flush=True)
         for entry in pending:
             drain(entry)
@@ -298,7 +298,7 @@ def main(argv=None):
             while len(pending) > LOOKAHEAD:
                 sl_p, ref_p = pending.pop(0)
                 out_poses[sl_p] = np.asarray(ref_p)
-            if sl.start % 50 == 0:
+            if si % max(1, 50 // B) == 0:
                 print(f"queued {sl.start}/total {n}", flush=True)
         for sl_p, ref_p in pending:
             out_poses[sl_p] = np.asarray(ref_p)
@@ -311,8 +311,9 @@ def main(argv=None):
     print(f"Median error {s['median_t_m']}m and {s['median_r_deg']} degrees.")
     print(f"Mean error {s['mean_t_m']}m and {s['mean_r_deg']} degrees.")
 
-    save_dir = (f"tmp/{opts.PoseEstimatorType}_NeFeS{opts.opt_iter}_"
-                f"{opts.dataset_type}/{scene_name}")
+    save_dir = opts.save_dir or (
+        f"tmp/{opts.PoseEstimatorType}_NeFeS{opts.opt_iter}_"
+        f"{opts.dataset_type}/{scene_name}")
     os.makedirs(save_dir, exist_ok=True)
     out_txt = (f"{save_dir}/{opts.PoseEstimatorType}_{scene_name}_"
                f"NeFeS{opts.opt_iter}_APR_pose_results.txt")
