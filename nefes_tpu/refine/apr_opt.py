@@ -134,7 +134,7 @@ def refine_apr_single(model: NeFeSModel, variables, dfnet: DFNet,
         nerf_pose = jnp.concatenate([pose[:3, :3], t[:, None]], -1)
         rgb_img, fused = render_feature_image(model, variables, nerf_pose,
                                               hist, hwf_render, near, far,
-                                              cfg)
+                                              cfg, fusion_bn=rcfg.fusion)
         fused_up = resize_bicubic(fused[None], H, W)[0]
         rgb_up = resize_bicubic(rgb_img[None], H, W)[0]
         if mask is not None:

@@ -10,7 +10,8 @@ the scan across cameras, something the serial torch loop cannot express.
 
 Per iteration (matching DFM_optimization_NFF):
   pose = SE3.exp([t, r]) ∘ init  ->  fix_coord_supp world rescale ->
-  render at H/tinyscale -> exposure affine -> FusionNet (frozen BN) ->
+  render at H/tinyscale -> exposure affine -> FusionNet (batch-stats BN,
+  the reference's operating point — see NeFeSModel.apply_fusion) ->
   per-channel cosine feature loss vs DFNet target (extracted once at
   H/tinyscale) -> Adam step with separate lr_r / lr_t (options.py:137-138).
 """
@@ -41,6 +42,11 @@ class RefineConfig:
     tinyscale: float = 4.0      # options.py:89
     per_pixel: bool = False
     learning_rate: float = 1e-5  # mode-2 APR lr (dm/options.py:31)
+    # FusionNet application in the DFM forward: "batch" = reference-exact
+    # batch-stats BN (see NeFeSModel.apply_fusion), "running" = running-
+    # average BN, "none" = bypass fusion and match RAW rendered features
+    # (ablation leg for the fused-vs-raw evidence)
+    fusion: str = "batch"
 
 
 def fix_coord_supp_jnp(pose: jnp.ndarray, ws: WorldSetup) -> jnp.ndarray:
@@ -55,10 +61,15 @@ def fix_coord_supp_jnp(pose: jnp.ndarray, ws: WorldSetup) -> jnp.ndarray:
 def render_feature_image(model: NeFeSModel, variables, pose34: jnp.ndarray,
                          hist: jnp.ndarray, hwf: tuple, near: float,
                          far: float, cfg: RenderConfig,
-                         block_rays: int = 0):
+                         block_rays: int = 0, fusion_bn: str = "batch"):
     """Render at H/tinyscale and run exposure + fusion — the shared forward
     of both refinement modes (DFM_APR_refine.py:107-113,
     DFM_pose_refine.py:321-329). Returns (rgb_img (h,w,3), fused (h,w,F)).
+
+    fusion_bn: BatchNorm statistics mode for the FusionNet — "batch"
+    (reference-exact: the torch model is never .eval()'d, so its BN
+    normalizes each render with its own statistics) or "running"
+    (see NeFeSModel.apply_fusion).
 
     block_rays: 0 = one fused launch (right for the H/4 refinement
     renders). FULL-resolution calls (e.g. the accuracy harness's
@@ -90,8 +101,11 @@ def render_feature_image(model: NeFeSModel, variables, pose34: jnp.ndarray,
     rgb = model.apply_exposure(params, hist[None],
                                out["rgb"].reshape(1, -1, 3))
     rgb_img = rgb.reshape(h, w, 3)
+    if fusion_bn == "none":
+        return rgb_img, out["feat"]
     fused, _ = model.apply_fusion(variables, rgb_img[None],
-                                  out["feat"][None], train=False)
+                                  out["feat"][None], train=False,
+                                  bn_stats=fusion_bn)
     return rgb_img, fused[0]
 
 
@@ -133,7 +147,8 @@ def refine_pose_single(model: NeFeSModel, variables, init_pose: jnp.ndarray,
     def loss_fn(p):
         _, nerf_pose = pose_from(p)
         _, fused = render_feature_image(model, variables, nerf_pose, hist,
-                                        hwf, near, far, cfg)
+                                        hwf, near, far, cfg,
+                                        fusion_bn=rcfg.fusion)
         if mask is not None:
             return masked_feature_cosine_loss(fused, target_feat, mask,
                                               per_pixel=rcfg.per_pixel)

@@ -212,9 +212,32 @@ class NeFeSModel:
         return affine_color_transform(emb, rgb)
 
     def apply_fusion(self, variables, rgb_img: jnp.ndarray,
-                     feat_img: jnp.ndarray, train: bool = False):
+                     feat_img: jnp.ndarray, train: bool = False,
+                     bn_stats: str = "batch"):
         """rgb_img (B, H, W, 3), feat_img (B, H, W, F) -> fused features.
-        Returns (out, new_batch_stats|None)."""
+        Returns (out, new_batch_stats|None).
+
+        bn_stats selects how the trailing BatchNorm normalizes at
+        INFERENCE (train=False):
+
+        * ``"batch"`` (default) — statistics of the current input, exactly
+          like the reference at its operating point: the torch NeRF model
+          is never ``.eval()``'d anywhere in the pipeline
+          (``disable_model_grad`` only clears requires_grad,
+          DFM_pose_refine.py:108-117; run_nefes.py/DFM_*.py contain no
+          ``.eval()`` for it), so ``BatchNorm2d`` normalizes every
+          refinement/validation render with that render's own statistics
+          and the running averages are never consulted. Running-average
+          normalization instead puts the fused features through stats
+          accumulated from 16x16 training patches — a train/test
+          distribution shift the reference never pays (measured: it
+          inflates the fused feature-cosine loss ~4x on the accuracy
+          harness and flips the fused-vs-raw DFM comparison).
+        * ``"running"`` — flax-conventional running averages (kept for
+          A/B evidence and converted-checkpoint parity gates).
+
+        train=True always uses batch statistics and returns the updated
+        running stats for the training step to persist."""
         v = {"params": variables["params"]["fusion"]}
         has_bn = "batch_stats" in variables
         if has_bn:
@@ -224,4 +247,10 @@ class NeFeSModel:
             out, mut = self.fusion.apply(v, x, train=True,
                                          mutable=["batch_stats"])
             return out, mut["batch_stats"]
+        if has_bn and bn_stats == "batch":
+            # batch statistics WITHOUT persisting the mutation — the
+            # functional equivalent of torch train-mode BN under no_grad
+            out, _ = self.fusion.apply(v, x, train=True,
+                                       mutable=["batch_stats"])
+            return out, None
         return self.fusion.apply(v, x, train=False), None

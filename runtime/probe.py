@@ -756,20 +756,31 @@ def cmd_accuracy(args):
                      "train_psnr": train_psnr}, f)
     print(f"fusion liveness: {live}", flush=True)
 
-    # ---- fusion-vs-no-fusion feature quality on TEST views ----
-    cos_fused, cos_raw = [], []
+    # ---- fusion-vs-no-fusion feature quality on TEST views: one raw
+    # render per view, fusion applied under BOTH BN-statistics modes
+    # ("batch" = reference-exact, the shipped default; "running" = the
+    # r4 behavior whose patch-stats distribution shift sank the fused
+    # features — see NeFeSModel.apply_fusion) ----
+    from nefes_tpu.render.renderer import render_image
+    cos_fused, cos_fused_run, cos_raw = [], [], []
     for i in test_idx:
-        rgb_img, fused = render_feature_image(
-            model, state.variables, jnp.asarray(scene.poses[i]),
-            jnp.asarray(scene.hists[i]), hwf, scene.near, scene.far, tcfg)
-        from nefes_tpu.render.renderer import render_image
-        raw = render_image(model.coarse_fn, model.fine_fn,
-                           state.params, state.params, h, w,
-                           hwf[2], jnp.asarray(scene.poses[i]),
-                           scene.near, scene.far, tcfg)["feat"]
+        out_i = render_image(model.coarse_fn, model.fine_fn,
+                             state.params, state.params, h, w,
+                             hwf[2], jnp.asarray(scene.poses[i]),
+                             scene.near, scene.far, tcfg)
+        raw = out_i["feat"]
+        rgb_img = model.apply_exposure(
+            state.params, jnp.asarray(scene.hists[i])[None],
+            out_i["rgb"].reshape(1, -1, 3)).reshape(h, w, 3)
+        fused = model.apply_fusion(state.variables, rgb_img[None],
+                                   raw[None], bn_stats="batch")[0][0]
+        fused_run = model.apply_fusion(state.variables, rgb_img[None],
+                                       raw[None], bn_stats="running")[0][0]
         tgt = jnp.asarray(feats[i])
         cos_fused.append(float(feature_cosine_loss(fused, tgt,
                                                    per_pixel=True)))
+        cos_fused_run.append(float(feature_cosine_loss(fused_run, tgt,
+                                                       per_pixel=True)))
         cos_raw.append(float(feature_cosine_loss(raw, tgt,
                                                  per_pixel=True)))
 
@@ -859,14 +870,21 @@ def cmd_accuracy(args):
     from nefes_tpu.utils.image import resize_bicubic
 
     def dfm_losses_at(pose34, i):
-        rgb_img, fused = render_feature_image(
-            model_r, state.variables, jnp.asarray(pose34), test_hists[i],
-            hwf, scene.near, scene.far, tcfg_r)
-        raw = _ri(model_r.coarse_fn, model_r.fine_fn, state.params,
-                  state.params, h, w, hwf[2], jnp.asarray(pose34),
-                  scene.near, scene.far, tcfg_r)["feat"]
+        """[fused_batch, raw, fused_running] DFM losses at a pose: one
+        f32 render, fusion applied under both BN-statistics modes."""
+        out_i = _ri(model_r.coarse_fn, model_r.fine_fn, state.params,
+                    state.params, h, w, hwf[2], jnp.asarray(pose34),
+                    scene.near, scene.far, tcfg_r)
+        raw = out_i["feat"]
+        rgb_img = model_r.apply_exposure(
+            state.params, test_hists[i][None],
+            out_i["rgb"].reshape(1, -1, 3)).reshape(h, w, 3)
+        fused = model_r.apply_fusion(state.variables, rgb_img[None],
+                                     raw[None], bn_stats="batch")[0][0]
+        fused_run = model_r.apply_fusion(state.variables, rgb_img[None],
+                                         raw[None], bn_stats="running")[0][0]
         out = []
-        for f in (fused, raw):
+        for f in (fused, raw, fused_run):
             up = resize_bicubic(f[None], HH, WW)[0]
             out.append(float(feature_cosine_loss(
                 up[10:-10, 10:-10], targets[i][10:-10, 10:-10])))
@@ -881,11 +899,22 @@ def cmd_accuracy(args):
                         for i in range(N_TEST)])
     at_gt = np.array([dfm_losses_at(scene.poses[test_idx[i]], i)
                       for i in range(N_TEST)])
+    def relief(i_col):
+        med_i = float(np.median(at_init[:, i_col]))
+        med_g = float(np.median(at_gt[:, i_col]))
+        return round(100.0 * (med_i - med_g) / max(med_i, 1e-9), 2)
+
     landscape = {
         "dfm_loss_at_init_fused": float(np.median(at_init[:, 0])),
         "dfm_loss_at_gt_fused": float(np.median(at_gt[:, 0])),
         "dfm_loss_at_init_raw": float(np.median(at_init[:, 1])),
         "dfm_loss_at_gt_raw": float(np.median(at_gt[:, 1])),
+        # the r4 behavior (running-average BN) kept for the before/after
+        # evidence of the batch-stats fix
+        "dfm_loss_at_init_fused_running": float(np.median(at_init[:, 2])),
+        "dfm_loss_at_gt_fused_running": float(np.median(at_gt[:, 2])),
+        "dfm_relief_raw_pct": relief(1),
+        "dfm_relief_fused_running_pct": relief(2),
         # per-frame basin check: a median relief can hide frames whose
         # DFM loss is LOWER at the APR pose than at GT (descending the
         # loss then provably moves those frames away from GT — an
@@ -899,9 +928,9 @@ def cmd_accuracy(args):
     ws_vec = jnp.asarray([1.0, 1.0, 0.0, 0.0, 0.0])
     gt = scene.poses[test_idx]
 
-    def run_refine(lr, iters, per_pixel=False):
+    def run_refine(lr, iters, per_pixel=False, fusion="batch"):
         rfc = RefineConfig(opt_iter=iters, learning_rate=lr,
-                           per_pixel=per_pixel)
+                           per_pixel=per_pixel, fusion=fusion)
         out = refine_apr_batch(model_r, state.variables, apr_r, apr_vars,
                                test_imgs, targets, test_hists, ws_vec,
                                hwf, full_hwf, scene.near, scene.far,
@@ -912,6 +941,7 @@ def cmd_accuracy(args):
         e_init = pose_errors(init_poses, gt)
         e_ver = pose_errors(verified, gt)
         return {"lr": lr, "iters": iters, "per_pixel": per_pixel,
+                "fusion": fusion,
                 "out": out, "verified": verified, "refined": refined,
                 "init_poses": init_poses, "err_init": e_init,
                 "err_ver": e_ver,
@@ -939,6 +969,27 @@ def cmd_accuracy(args):
               f"(init {np.median(r['err_init'][:, 0]):.4f} m / "
               f"{np.median(r['err_init'][:, 1]):.3f} deg)", flush=True)
     best = min(runs, key=lambda r: r["median_t"])
+
+    # ---- fused-vs-raw refinement ablation (the paper's core premise,
+    # nerfh_nff.py:356-418 / VERDICT r4 missing #2): rerun the SAME lr
+    # sweep with the FusionNet bypassed ("none" -> raw rendered features)
+    # so raw gets its own best lr, plus one "running"-BN leg at the
+    # fused winner's config (the r4 behavior) ----
+    raw_runs = [run_refine(lr, it, pp, fusion="none")
+                for lr, it, pp in configs]
+    best_raw = min(raw_runs, key=lambda r: r["median_t"])
+    run_bn = run_refine(best["lr"], best["iters"], best["per_pixel"],
+                        fusion="running")
+    fusion_ablation = {}
+    for name, r in (("fused_batch", best), ("raw", best_raw),
+                    ("fused_running", run_bn)):
+        fusion_ablation[name] = {
+            "lr": r["lr"], "median_t_m": r["median_t"],
+            "median_r_deg": r["median_r"],
+            "improved_frames_frac": float(np.mean(
+                r["err_ver"][:, 0] < r["err_init"][:, 0]))}
+        print(f"fusion ablation {name}: {fusion_ablation[name]}",
+              flush=True)
     out, verified = best["out"], best["verified"]
     refined, init_poses = best["refined"], best["init_poses"]
     err_init, err_ver = best["err_init"], best["err_ver"]
@@ -1049,6 +1100,8 @@ def cmd_accuracy(args):
         "refine_lr": best["lr"],
         "feat_cos_loss_fused_renderscale": round(float(np.mean(cos_fused)),
                                                  4),
+        "feat_cos_loss_fused_running_renderscale": round(
+            float(np.mean(cos_fused_run)), 4),
         "feat_cos_loss_raw_renderscale": round(float(np.mean(cos_raw)), 4),
         # the comparison that matters is at the DFM operating point:
         # full-res bicubic-upsampled features vs full-res DFNet targets
@@ -1057,6 +1110,13 @@ def cmd_accuracy(args):
         "fusion_beats_raw_at_dfm_scale": bool(
             landscape["dfm_loss_at_init_fused"]
             < landscape["dfm_loss_at_init_raw"]),
+        # the capability claims that actually matter (VERDICT r4 #2):
+        # a deeper basin toward GT, and better final medians, than raw
+        "fusion_relief_beats_raw": bool(
+            relief(0) >= landscape["dfm_relief_raw_pct"]),
+        "fusion_ablation": fusion_ablation,
+        "fusion_beats_raw_final_medians": bool(
+            best["median_t"] <= fusion_ablation["raw"]["median_t_m"]),
         "median_t_before_m": float(np.median(err_init[:, 0])),
         "median_t_after_m": float(np.median(err_ver[:, 0])),
         "median_r_before_deg": float(np.median(err_init[:, 1])),

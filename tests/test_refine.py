@@ -37,7 +37,8 @@ class AnalyticModel:
     def apply_exposure(self, params, hist, rgb):
         return jax.nn.sigmoid(rgb)
 
-    def apply_fusion(self, variables, rgb_img, feat_img, train=False):
+    def apply_fusion(self, variables, rgb_img, feat_img, train=False,
+                     bn_stats="batch"):
         return feat_img, None
 
 
