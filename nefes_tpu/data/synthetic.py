@@ -26,7 +26,8 @@ _BLOBS = np.array([  # (x, y, z, radius, r, g, b)
 
 
 def blob_field(params, xyz_emb, dir_emb=None, sigma_only=False,
-               output_transient=False, texture_amp: float = 0.0):
+               output_transient=False, texture_amp: float = 0.0,
+               texture_freq: float = 1.0):
     """Analytic soft-blob field usable as a renderer FieldFn.
 
     texture_amp > 0 modulates the albedo with a band-limited procedural
@@ -36,7 +37,15 @@ def blob_field(params, xyz_emb, dir_emb=None, sigma_only=False,
     region, which makes a constant FusionNet output a strong local
     optimum of the L1 fusion loss and leaves the DFM landscape flat.
     Real scenes (the reference's operating regime) are texture-rich;
-    this keeps the synthetic stand-in in that regime."""
+    this keeps the synthetic stand-in in that regime.
+
+    texture_freq scales the pattern's frequencies (and adds a second
+    octave when > 1): at 1.0 the D8/W128/F128 paper field renders the
+    resulting DFNet targets at the feature-noise floor (measured r5:
+    feat-cos 0.003, leaving feature fusion nothing to add — the scene is
+    then EASIER than the reference's operating regime, where rendered
+    features are lossy); texture_freq 2-3 puts the feature head in the
+    underfitting regime real scenes occupy."""
     xyz = xyz_emb[..., :3]
     blobs = jnp.asarray(_BLOBS)
     d = jnp.linalg.norm(xyz[..., None, :] - blobs[None, :, :3], axis=-1)
@@ -49,10 +58,18 @@ def blob_field(params, xyz_emb, dir_emb=None, sigma_only=False,
     rgb = (w[..., None] * blobs[:, 4:7]).sum(-2)
     if texture_amp > 0.0:
         x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
-        tex = (0.55 * jnp.sin(13.0 * x + 2.0 * jnp.sin(5.0 * y))
-               * jnp.sin(17.0 * y + 1.3)
-               + 0.45 * jnp.sin(23.0 * z + 3.0 * jnp.sin(7.0 * x))
-               * jnp.sin(29.0 * (x + y) + 0.7))
+        f = texture_freq
+        tex = (0.55 * jnp.sin(13.0 * f * x + 2.0 * jnp.sin(5.0 * f * y))
+               * jnp.sin(17.0 * f * y + 1.3)
+               + 0.45 * jnp.sin(23.0 * f * z + 3.0 * jnp.sin(7.0 * f * x))
+               * jnp.sin(29.0 * f * (x + y) + 0.7))
+        if f > 1.0:
+            # second octave: finer, phase-offset, half amplitude;
+            # renormalized so texture_amp keeps the same dynamic range
+            tex = (tex + 0.25 * (jnp.sin(31.0 * f * x + 1.1)
+                                 * jnp.sin(37.0 * f * y + 2.3)
+                                 + jnp.sin(41.0 * f * (y + z) + 0.4)
+                                 * jnp.sin(43.0 * f * x + 1.9))) / 1.5
         rgb = rgb * (1.0 - texture_amp * 0.5 * (1.0 + tex[..., None]))
     out["static_rgb"] = rgb
     # synthetic "feature": 8-D positional signature with both smooth and
@@ -80,9 +97,11 @@ def make_synthetic_scene(n_views: int = 12, H: int = 24, W: int = 32,
                          focal: float = 30.0, radius: float = 2.5,
                          near: float = 0.5, far: float = 5.0,
                          seed: int = 0,
-                         texture_amp: float = 0.0) -> SceneData:
+                         texture_amp: float = 0.0,
+                         texture_freq: float = 1.0) -> SceneData:
     """Cameras on a jittered circle, GT images rendered from blob_field
-    (texture_amp > 0 => procedurally textured albedo, see blob_field)."""
+    (texture_amp > 0 => procedurally textured albedo; texture_freq > 1
+    adds finer octaves — see blob_field)."""
     rng = np.random.default_rng(seed)
     poses = []
     for i in range(n_views):
@@ -98,7 +117,8 @@ def make_synthetic_scene(n_views: int = 12, H: int = 24, W: int = 32,
                        xyz_embed=EmbedConfig(num_freqs=1),
                        dir_embed=EmbedConfig(num_freqs=1))
     from functools import partial
-    field = (partial(blob_field, texture_amp=texture_amp)
+    field = (partial(blob_field, texture_amp=texture_amp,
+                     texture_freq=texture_freq)
              if texture_amp > 0.0 else blob_field)
     imgs = []
     for p in poses:

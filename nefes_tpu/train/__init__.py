@@ -9,3 +9,4 @@ from nefes_tpu.train.trainer import (
 from nefes_tpu.train.checkpoint import (
     save_checkpoint, restore_checkpoint, latest_checkpoint,
 )
+from nefes_tpu.train.calibration import calibrate_fusion_bn, fusion_pre_bn

@@ -478,7 +478,8 @@ def cmd_accuracy(args):
     # the texture-rich regime the reference actually operates in.
     scene = make_synthetic_scene(n_views=N_TRAIN + N_TEST, H=HH, W=WW,
                                  focal=1.15 * WW,
-                                 texture_amp=args.texture_amp)
+                                 texture_amp=args.texture_amp,
+                                 texture_freq=args.texture_freq)
     idx = np.arange(N_TRAIN + N_TEST)
     step = (N_TRAIN + N_TEST) // N_TEST
     test_idx = idx[2::step][:N_TEST]
@@ -762,8 +763,8 @@ def cmd_accuracy(args):
     # r4 behavior whose patch-stats distribution shift sank the fused
     # features — see NeFeSModel.apply_fusion) ----
     from nefes_tpu.render.renderer import render_image
-    cos_fused, cos_fused_run, cos_raw = [], [], []
-    for i in test_idx:
+
+    def render_view(i):
         out_i = render_image(model.coarse_fn, model.fine_fn,
                              state.params, state.params, h, w,
                              hwf[2], jnp.asarray(scene.poses[i]),
@@ -772,17 +773,54 @@ def cmd_accuracy(args):
         rgb_img = model.apply_exposure(
             state.params, jnp.asarray(scene.hists[i])[None],
             out_i["rgb"].reshape(1, -1, 3)).reshape(h, w, 3)
-        fused = model.apply_fusion(state.variables, rgb_img[None],
-                                   raw[None], bn_stats="batch")[0][0]
-        fused_run = model.apply_fusion(state.variables, rgb_img[None],
-                                       raw[None], bn_stats="running")[0][0]
-        tgt = jnp.asarray(feats[i])
-        cos_fused.append(float(feature_cosine_loss(fused, tgt,
-                                                   per_pixel=True)))
-        cos_fused_run.append(float(feature_cosine_loss(fused_run, tgt,
+        return rgb_img, raw
+
+    def fused_raw_cos_eval():
+        cos_fused, cos_fused_run, cos_raw = [], [], []
+        for i in test_idx:
+            rgb_img, raw = render_view(i)
+            fused = model.apply_fusion(state.variables, rgb_img[None],
+                                       raw[None], bn_stats="batch")[0][0]
+            fused_run = model.apply_fusion(
+                state.variables, rgb_img[None], raw[None],
+                bn_stats="running")[0][0]
+            tgt = jnp.asarray(feats[i])
+            cos_fused.append(float(feature_cosine_loss(fused, tgt,
                                                        per_pixel=True)))
-        cos_raw.append(float(feature_cosine_loss(raw, tgt,
-                                                 per_pixel=True)))
+            cos_fused_run.append(float(feature_cosine_loss(
+                fused_run, tgt, per_pixel=True)))
+            cos_raw.append(float(feature_cosine_loss(raw, tgt,
+                                                     per_pixel=True)))
+        return cos_fused, cos_fused_run, cos_raw
+
+    # ---- trailing-BN affine calibration (closed form; see
+    # train/calibration.py for the measured underconvergence it fixes:
+    # the affine marches toward the target channel means at ~lr/step and
+    # the miniature schedule leaves it 5-10x short of the reference's
+    # converged operating point) ----
+    calibration = None
+    if args.calibrate_fusion:
+        from nefes_tpu.train.calibration import calibrate_fusion_bn
+        cf_pre, cfr_pre, _ = fused_raw_cos_eval()
+        K = args.calib_views
+        cal_rgb, cal_raw = [], []
+        for i in train_idx[:K]:
+            rgb_img, raw = render_view(int(i))
+            cal_rgb.append(rgb_img)
+            cal_raw.append(raw)
+        new_vars, calibration = calibrate_fusion_bn(
+            model, state.variables, jnp.stack(cal_rgb),
+            jnp.stack(cal_raw), jnp.asarray(feats[train_idx[:K]]))
+        state = state.replace(variables=new_vars)
+        calibration["views"] = K
+        calibration["feat_cos_fused_precal"] = round(
+            float(np.mean(cf_pre)), 4)
+        calibration["feat_cos_fused_running_precal"] = round(
+            float(np.mean(cfr_pre)), 4)
+        print("fusion BN calibration:", json.dumps(calibration),
+              flush=True)
+
+    cos_fused, cos_fused_run, cos_raw = fused_raw_cos_eval()
 
     # ---- DFNet APR trained on the train split ----
     apr = DFNet(output_dim=cfg.feature_dim, dtype=jnp.bfloat16)
@@ -931,10 +969,21 @@ def cmd_accuracy(args):
     def run_refine(lr, iters, per_pixel=False, fusion="batch"):
         rfc = RefineConfig(opt_iter=iters, learning_rate=lr,
                            per_pixel=per_pixel, fusion=fusion)
-        out = refine_apr_batch(model_r, state.variables, apr_r, apr_vars,
-                               test_imgs, targets, test_hists, ws_vec,
-                               hwf, full_hwf, scene.near, scene.far,
-                               tcfg_r, rfc, svd_reg=True)
+        # chunk the frame vmap: each mode-2 frame carries its own VGG16
+        # param + Adam-state copies, and 32 frames in one launch exhaust
+        # HBM (the r5a run died here at 192x256); per-frame results are
+        # independent so chunking is exact
+        CH = max(1, args.refine_chunk)
+        chunks = []
+        for s in range(0, N_TEST, CH):
+            o = refine_apr_batch(model_r, state.variables, apr_r,
+                                 apr_vars, test_imgs[s:s + CH],
+                                 targets[s:s + CH], test_hists[s:s + CH],
+                                 ws_vec, hwf, full_hwf, scene.near,
+                                 scene.far, tcfg_r, rfc, svd_reg=True)
+            chunks.append(jax.tree.map(np.asarray, o))
+        out = {k: np.concatenate([c[k] for c in chunks])
+               for k in chunks[0]}
         verified = np.asarray(apply_verification(out))
         refined = np.asarray(out["refined_pose"])
         init_poses = np.asarray(out["initial_pose"])
@@ -1048,15 +1097,20 @@ def cmd_accuracy(args):
     # APR; candidates bracket the CLI default 0.0087); selection
     # balances both errors via the summed relative improvement
     m3_runs = []
+    CH3 = max(1, 2 * args.refine_chunk)   # mode 3 is ~2x lighter/frame
+    apr_poses0_j = jnp.asarray(np.stack(apr_poses0))
     for lr_r in args.mode3_lr_r:
         for lr_t in args.mode3_lr_t:
-            m3_out, _ = refine_poses_batch(
-                model_r, state.variables,
-                jnp.asarray(np.stack(apr_poses0)),
-                targets_rs, test_hists, scene.world, hwf, tcfg_r,
-                RefineConfig(opt_iter=args.opt_iter, lr_r=lr_r, lr_t=lr_t,
-                             per_pixel=best["per_pixel"]))
-            e = pose_errors(np.asarray(m3_out), gt)
+            rfc3 = RefineConfig(opt_iter=args.opt_iter, lr_r=lr_r,
+                                lr_t=lr_t, per_pixel=best["per_pixel"])
+            m3_parts = []
+            for s in range(0, N_TEST, CH3):
+                m3_o, _ = refine_poses_batch(
+                    model_r, state.variables, apr_poses0_j[s:s + CH3],
+                    targets_rs[s:s + CH3], test_hists[s:s + CH3],
+                    scene.world, hwf, tcfg_r, rfc3)
+                m3_parts.append(np.asarray(m3_o))
+            e = pose_errors(np.concatenate(m3_parts), gt)
             m3_runs.append({
                 "lr_r": lr_r, "lr_t": lr_t,
                 "median_t_m": float(np.median(e[:, 0])),
@@ -1138,8 +1192,10 @@ def cmd_accuracy(args):
         **landscape,
         "fusion_liveness": live,
         "fusion_collapse_retry": fusion_retry,
+        "fusion_bn_calibration": calibration,
         "grad_clip": args.grad_clip,
         "texture_amp": args.texture_amp,
+        "texture_freq": args.texture_freq,
         "wall_s": round(time.time() - t_start, 1),
         "device": str(jax.devices()[0]),
     }
@@ -1638,8 +1694,8 @@ def main():
     pa.add_argument("--refine_lrs", type=float, nargs="+",
                     default=[6e-6, 4e-6, 3e-6])
     pa.add_argument("--opt_iter", type=int, default=50)
-    pa.add_argument("--n_test", type=int, default=16,
-                    help="test frames (r3 used 8; VERDICT asked >=16)")
+    pa.add_argument("--n_test", type=int, default=32,
+                    help="test frames (r3: 8, r4: 16, r5 VERDICT: >=32)")
     pa.add_argument("--per_pixel", type=int, default=1,
                     help="per-pixel DFM loss for the main lr sweep "
                          "(the measured-best family, ACCURACY_r03)")
@@ -1673,6 +1729,21 @@ def main():
     pa.add_argument("--cache", default="",
                     help="pickle path to save/reuse the trained field+APR"
                          " (skips the ~15 min training when it exists)")
+    pa.add_argument("--texture_freq", type=float, default=1.0,
+                    help="texture frequency multiplier (>1 adds a finer "
+                         "octave): at 1.0 the paper field renders the "
+                         "DFNet targets at the noise floor and fusion "
+                         "has nothing to add; 2-3 reproduces the "
+                         "reference's lossy-rendered-features regime")
+    pa.add_argument("--calibrate_fusion", type=int, default=1,
+                    help="closed-form trailing-BN affine calibration "
+                         "after training (train/calibration.py); the "
+                         "pre-calibration numbers are recorded either "
+                         "way")
+    pa.add_argument("--calib_views", type=int, default=6)
+    pa.add_argument("--refine_chunk", type=int, default=8,
+                    help="frames per mode-2 refinement launch (32 "
+                         "at once OOM HBM at 192x256)")
     pa.add_argument("--texture_amp", type=float, default=0.6,
                     help="procedural albedo texture amplitude for the "
                          "synthetic scene (0 = the flat-shaded blobs, "
@@ -1686,7 +1757,7 @@ def main():
                     help="ignore the cache's final variables but reuse "
                          "its stage-0 field and finetuned DFNet; rerun "
                          "stages 1-2 (for retraining after a collapse)")
-    pa.add_argument("--out", default="ACCURACY_r04.json")
+    pa.add_argument("--out", default="ACCURACY_r05.json")
     args = p.parse_args()
     {"perf": cmd_perf, "kernel": cmd_kernel, "mode2": cmd_mode2,
      "accuracy": cmd_accuracy, "profile": cmd_profile,
