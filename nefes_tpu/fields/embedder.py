@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -52,6 +53,45 @@ class EmbedConfig:
         return cls(num_freqs=0, max_freq_log2=0)
 
 
+@jax.custom_vjp
+def _freq_encode(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
+    """sin/cos bands of x (..., D) at freqs (F,) -> (..., 2·F·D) in the
+    reference's interleave [sin(f1·x), cos(f1·x), sin(f2·x), ...].
+
+    Computed directly in (F, D) order — the naive (D, F) order needs two
+    swapaxes to reach the checkpoint layout, which XLA materializes as a
+    split+copy on every refinement iteration (36 ms/frame of pure layout
+    in PROFILE_r04). The custom VJP below reuses the forward's own sin/cos
+    as the derivative pair (d sin(fx) = f·cos(fx), d cos(fx) = -f·sin(fx)),
+    so the backward pass runs zero transcendentals and stores no extra
+    residual beyond the tensors the consuming matmul already needs."""
+    xf = x[..., None, :] * freqs[:, None]                    # (..., F, D)
+    sc = jnp.stack([jnp.sin(xf), jnp.cos(xf)], axis=-2)      # (..., F, 2, D)
+    return sc.reshape(*x.shape[:-1], 2 * freqs.shape[0] * x.shape[-1])
+
+
+def _freq_encode_fwd(x, freqs):
+    xf = x[..., None, :] * freqs[:, None]
+    s, c = jnp.sin(xf), jnp.cos(xf)
+    out = jnp.stack([s, c], axis=-2).reshape(
+        *x.shape[:-1], 2 * freqs.shape[0] * x.shape[-1])
+    return out, (s, c, freqs)
+
+
+def _freq_encode_bwd(res, g):
+    s, c, freqs = res
+    F, D = s.shape[-2], s.shape[-1]
+    gsc = g.reshape(*g.shape[:-1], F, 2, D)
+    gs, gc = gsc[..., 0, :], gsc[..., 1, :]
+    gx = ((gs * c - gc * s) * freqs[:, None]).sum(-2)
+    # the frequency table is a static constant; custom_vjp still wants a
+    # cotangent slot for it
+    return gx, jnp.zeros_like(freqs)
+
+
+_freq_encode.defvjp(_freq_encode_fwd, _freq_encode_bwd)
+
+
 def embed(x: jnp.ndarray, cfg: EmbedConfig,
           window: jnp.ndarray | None = None) -> jnp.ndarray:
     """Frequency-encode (..., D) -> (..., out_dim).
@@ -62,18 +102,18 @@ def embed(x: jnp.ndarray, cfg: EmbedConfig,
     """
     if cfg.num_freqs == 0:
         return x
-    freqs = jnp.asarray(cfg.freq_bands)                      # (F,)
-    xf = x[..., None] * freqs                                # (..., D, F)
-    s, c = jnp.sin(xf), jnp.cos(xf)
-    if window is not None:
-        s = s * window
-        c = c * window
-    # interleave per-frequency [sin_f, cos_f] across the channel dim so the
-    # flattened layout is [sin(f1·xyz), cos(f1·xyz), sin(f2·xyz), ...]
-    sc = jnp.stack([s, c], axis=-1)                          # (..., D, F, 2)
-    sc = jnp.swapaxes(sc, -3, -2)                            # (..., F, D, 2)
-    sc = jnp.swapaxes(sc, -2, -1)                            # (..., F, 2, D)
-    flat = sc.reshape(*x.shape[:-1], 2 * cfg.num_freqs * cfg.input_dims)
+    freqs = jnp.asarray(cfg.freq_bands, dtype=x.dtype)       # (F,)
+    if window is None:
+        flat = _freq_encode(x, freqs)
+    else:
+        # windowed (training, reduce_embedding=2) path: the window needs
+        # its own cotangent, so use the plain autodiff formulation
+        xf = x[..., None, :] * freqs[:, None]                # (..., F, D)
+        s = jnp.sin(xf) * window[:, None]
+        c = jnp.cos(xf) * window[:, None]
+        sc = jnp.stack([s, c], axis=-2)                      # (..., F, 2, D)
+        flat = sc.reshape(*x.shape[:-1],
+                          2 * cfg.num_freqs * cfg.input_dims)
     if cfg.include_input:
         return jnp.concatenate([x, flat], axis=-1)
     return flat

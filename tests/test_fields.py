@@ -43,6 +43,33 @@ def test_embed_window():
     np.testing.assert_allclose(np.asarray(w_full), 1.0, atol=1e-6)
 
 
+def test_embed_custom_vjp_matches_autodiff():
+    """The window=None fast path runs a custom VJP that reuses the
+    forward's sin/cos as the derivative pair; an all-ones window takes the
+    plain-autodiff formulation of the SAME math — values and gradients
+    must agree."""
+    x = jnp.asarray(np.random.default_rng(1)
+                    .standard_normal((64, 3)).astype(np.float32))
+    cfg = EmbedConfig(num_freqs=10)
+    ones = jnp.ones(10)
+
+    def loss_fast(x):
+        e = embed(x, cfg)
+        return jnp.sum(jnp.sin(e * 0.7) * jnp.cos(e))
+
+    def loss_ref(x):
+        e = embed(x, cfg, window=ones)
+        return jnp.sum(jnp.sin(e * 0.7) * jnp.cos(e))
+
+    np.testing.assert_allclose(np.asarray(embed(x, cfg)),
+                               np.asarray(embed(x, cfg, window=ones)),
+                               atol=1e-6)
+    g_fast = jax.grad(loss_fast)(x)
+    g_ref = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-3)
+
+
 def _count(params):
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
 
