@@ -143,6 +143,11 @@ class Options:
     # already fills the MXU, so batching only adds HBM pressure. Raise
     # for small fields / mode 3, where vmap does amortise.
     refine_batch: int = 1
+    # frames folded into ONE device launch as a lax.scan (serial inside,
+    # so single-frame peak memory — unlike refine_batch's vmap) to
+    # amortize per-launch host dispatch. Orthogonal to refine_batch;
+    # effective with refine_batch=1.
+    scan_frames: int = 4
     # APR compute dtype during refinement. The reference pins float32
     # (autocast decorator, DFM_pose_refine.py:131); bfloat16 runs the
     # VGG16 tower on the MXU's native type (weights stay f32)

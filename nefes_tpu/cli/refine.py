@@ -166,6 +166,7 @@ def main(argv=None):
 
         phase("targets precomputed")
         from nefes_tpu.refine import refine_apr_batch
+        from nefes_tpu.refine.apr_opt import refine_apr_verified_scanned
         kw = dict(svd_reg=opts.svd_reg, freeze_bn=opts.freezeBN,
                   apr_kind=opts.PoseEstimatorType,
                   dataset_type=opts.dataset_type,
@@ -173,7 +174,12 @@ def main(argv=None):
                   else jnp.asarray(pose_avg))
         hwf_full = (test.H, test.W, float(test.focal))
         B = max(1, opts.refine_batch)
-        slices = [slice(i, min(i + B, n)) for i in range(0, n, B)]
+        # scan_frames folds G frames into one lax.scan launch (serial
+        # inside — single-frame memory, one dispatch per G frames); only
+        # meaningful at refine_batch=1, the measured mode-2 optimum
+        SF = max(1, opts.scan_frames) if B == 1 else 1
+        G = SF if B == 1 else B
+        slices = [slice(i, min(i + G, n)) for i in range(0, n, G)]
 
         def stage(sl):
             """Start the slice's host->device transfers (device_put is
@@ -208,7 +214,28 @@ def main(argv=None):
             imgs_d, tgts_d, masks_d = staged
             staged = stage(slices[si + 1]) if si + 1 < len(slices) else None
             nb = sl.stop - sl.start
-            if nb == 1 or B == 1:
+            if SF > 1:
+                # pad the tail slice by repeating the last frame so every
+                # launch reuses ONE compiled executable (a fresh tail
+                # shape would recompile the whole VGG16-in-scan program —
+                # minutes through the remote relay vs ~1 s/frame of
+                # redundant refinement)
+                idxs = jnp.asarray(np.minimum(np.arange(G), nb - 1),
+                                   jnp.int32)
+                hidxs = jnp.asarray(
+                    np.minimum(np.arange(sl.start, sl.start + G),
+                               sl.stop - 1), jnp.int32)
+                poses = refine_apr_verified_scanned(
+                    model, variables, apr_module, apr_vars,
+                    imgs_d, tgts_d, hists_dev, idxs, hidxs,
+                    ws_vec, hwf_render, hwf_full, near, far,
+                    rcfg_render, rcfg, masks=masks_d,
+                    use_verification=not opts.no_verification_step,
+                    verification_metric=opts.verification_metric,
+                    has_mask=masks_d is not None, **kw)
+                pending.append((sl, poses[:nb]))
+                phase(f"launched {sl.start}..{sl.stop - 1}")
+            elif nb == 1 or B == 1:
                 for j in range(nb):
                     # one launch per frame: slicing + scan + verification
                     # inside a single jit (refine_apr_verified)
@@ -269,17 +296,29 @@ def main(argv=None):
         targets = np.concatenate(targets)
 
         B = max(1, opts.refine_batch)  # cameras refined per launch
-        slices = [slice(i, min(i + B, n)) for i in range(0, n, B)]
+        # scan_frames folds G frames into one lax.scan launch (serial
+        # inside — single-frame memory, one dispatch per G frames); only
+        # meaningful at refine_batch=1 (same rationale as mode 2 above)
+        SF = max(1, opts.scan_frames) if B == 1 else 1
+        G = SF if B == 1 else B
+        slices = [slice(i, min(i + G, n)) for i in range(0, n, G)]
+        hists_np = np.asarray(test.hists)
+        masks_np3 = None if masks is None else np.asarray(masks)
 
         def stage3(sl):
             """Async host->device staging of the NEXT slice's inputs (same
             pattern as mode 2 above: device_put returns immediately, so
             the 2.5 MB/frame render-scale targets stream over the tunnel
-            while the current slice's scan computes)."""
-            return (jax.device_put(init_poses[sl]),
-                    jax.device_put(targets[sl]),
-                    jax.device_put(test.hists[sl]),
-                    None if masks is None else jax.device_put(masks[sl]))
+            while the current slice's scan computes). A short tail slice
+            is padded by repeating the last frame so every launch reuses
+            ONE compiled executable (a fresh tail shape would recompile
+            the whole scan program — minutes through the remote relay)."""
+            idx = np.minimum(np.arange(sl.start, sl.start + G), sl.stop - 1)
+            return (jax.device_put(init_poses[idx]),
+                    jax.device_put(targets[idx]),
+                    jax.device_put(hists_np[idx]),
+                    None if masks_np3 is None
+                    else jax.device_put(masks_np3[idx]))
 
         # bounded in-flight queue: a per-slice np.asarray sync here would
         # stall dispatch of the next launch behind the current scan (the
@@ -287,14 +326,21 @@ def main(argv=None):
         # axon tunnel); materialize refined poses LOOKAHEAD launches late
         LOOKAHEAD = 4
         pending: list[tuple[slice, object]] = []
+        from nefes_tpu.refine.pose_opt import refine_poses_scanned
         staged = stage3(slices[0]) if slices else None
         for si, sl in enumerate(slices):
             poses_d, tgts_d, hists_d, masks_d = staged
             staged = stage3(slices[si + 1]) if si + 1 < len(slices) else None
-            refined, _ = refine_poses_batch(
-                model, variables, poses_d, tgts_d, hists_d,
-                ws, hwf_render, rcfg_render, rcfg, masks=masks_d)
-            pending.append((sl, refined))
+            nb = sl.stop - sl.start
+            if SF > 1:
+                refined = refine_poses_scanned(
+                    model, variables, poses_d, tgts_d, hists_d,
+                    ws, hwf_render, rcfg_render, rcfg, masks=masks_d)
+            else:
+                refined, _ = refine_poses_batch(
+                    model, variables, poses_d, tgts_d, hists_d,
+                    ws, hwf_render, rcfg_render, rcfg, masks=masks_d)
+            pending.append((sl, refined[:nb]))
             while len(pending) > LOOKAHEAD:
                 sl_p, ref_p = pending.pop(0)
                 out_poses[sl_p] = np.asarray(ref_p)

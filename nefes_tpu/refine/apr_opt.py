@@ -247,6 +247,50 @@ def refine_apr_verified(model: NeFeSModel, variables, dfnet, dfnet_vars,
         else out["refined_pose"]
 
 
+@partial(jax.jit, static_argnames=("model", "dfnet", "cfg", "rcfg",
+                                   "hwf_render", "hwf_full", "svd_reg",
+                                   "freeze_bn", "apr_kind", "dataset_type",
+                                   "use_verification", "has_mask",
+                                   "verification_metric"))
+def refine_apr_verified_scanned(model: NeFeSModel, variables, dfnet,
+                                dfnet_vars, images, targets, hists,
+                                idxs, hist_idxs, ws_vec,
+                                hwf_render: tuple, hwf_full: tuple,
+                                near: float, far: float, cfg: RenderConfig,
+                                rcfg: RefineConfig, svd_reg: bool = True,
+                                masks=None, freeze_bn: bool = True,
+                                apr_kind: str = "DFNet",
+                                dataset_type: str = "7Scenes",
+                                pose_avg=None,
+                                use_verification: bool = True,
+                                has_mask: bool = False,
+                                verification_metric: str = "psnr_ssim"
+                                ) -> jnp.ndarray:
+    """N serving frames in ONE launch: a lax.scan over frame indices whose
+    body is the full refine_apr_verified step. Serial inside the launch —
+    single-frame peak memory, unlike the vmap path (refine_apr_batch),
+    which carries per-frame VGG16 param/Adam copies — but one device
+    dispatch per N frames, amortizing the per-launch host round-trip that
+    dominates the serving-vs-scan gap through the remote-TPU tunnel
+    (BENCH r4/r5: cli 1.44-1.49x the scan rate at scan_frames=1).
+    idxs/hist_idxs: (N,) int32 frame indices into the staged arrays.
+    Returns (N, 3, 4) verified poses."""
+    def body(carry, ij):
+        i, hi = ij
+        out = refine_apr_single(
+            model, variables, dfnet, dfnet_vars, images[i], targets[i],
+            hists[hi], ws_vec, hwf_render, hwf_full, near, far, cfg,
+            rcfg, svd_reg=svd_reg,
+            mask=masks[i] if has_mask else None,
+            freeze_bn=freeze_bn, apr_kind=apr_kind,
+            dataset_type=dataset_type, pose_avg=pose_avg)
+        pose = (apply_verification(out, verification_metric)
+                if use_verification else out["refined_pose"])
+        return carry, pose
+    _, poses = jax.lax.scan(body, 0, (idxs, hist_idxs))
+    return poses
+
+
 def refine_apr_batch(model: NeFeSModel, variables, dfnet, dfnet_vars,
                      images, targets, hists, ws_vec, hwf_render: tuple,
                      hwf_full: tuple, near: float, far: float,

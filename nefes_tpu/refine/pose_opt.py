@@ -184,3 +184,29 @@ def refine_poses_batch(model: NeFeSModel, variables, init_poses, target_feats,
             ws.far, cfg, rcfg)
         return jax.vmap(fn_nomask)(init_poses, target_feats, hists)
     return jax.vmap(fn)(init_poses, target_feats, hists, masks)
+
+
+@partial(jax.jit, static_argnames=("model", "ws", "hwf", "cfg", "rcfg"))
+def refine_poses_scanned(model: NeFeSModel, variables, init_poses,
+                         target_feats, hists, ws: WorldSetup, hwf: tuple,
+                         cfg: RenderConfig, rcfg: RefineConfig, masks=None):
+    """lax.scan the per-camera refinement across frames — one device
+    launch, serial inside (single-frame memory + amortized per-launch
+    dispatch; the mode-3 counterpart of refine_apr_verified_scanned).
+    Unlike the vmapped refine_poses_batch this adds no cross-frame MXU
+    work, so it wins exactly when per-launch overhead, not compute,
+    dominates the serving gap. Returns (N, 3, 4) refined poses."""
+    ws_vec = jnp.asarray([ws.pose_scale, ws.pose_scale2,
+                          *ws.move_all_cam_vec], jnp.float32)
+
+    def body(carry, xs):
+        mask = xs[3] if masks is not None else None
+        refined, _ = refine_pose_single(
+            model, variables, xs[0], xs[1], xs[2], ws_vec, hwf, ws.near,
+            ws.far, cfg, rcfg, mask=mask)
+        return carry, refined
+
+    xs = ((init_poses, target_feats, hists) if masks is None
+          else (init_poses, target_feats, hists, masks))
+    _, poses = jax.lax.scan(body, 0, xs)
+    return poses

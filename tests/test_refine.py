@@ -141,6 +141,16 @@ def test_mode3_batch_vmap():
     assert losses.shape == (2, 5)
     assert np.isfinite(np.asarray(losses)).all()
 
+    # the one-launch serving scan (cli/refine.py scan_frames) must refine
+    # each frame identically to the vmapped path — serial lax.scan vs
+    # vmap is pure execution-order choice, not semantics
+    from nefes_tpu.refine.pose_opt import refine_poses_scanned
+    scanned = refine_poses_scanned(
+        model, variables, jnp.stack([pert, pert2]),
+        jax.lax.stop_gradient(jnp.stack(feats)), hists, ws, HWF, CFG, rcfg)
+    np.testing.assert_allclose(np.asarray(scanned), np.asarray(refined),
+                               rtol=1e-4, atol=1e-5)
+
 
 def test_mode2_apr_refinement_smoke():
     """Mode-2 (APR-weight) loop end-to-end with a real DFNet on a small
