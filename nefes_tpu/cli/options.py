@@ -158,6 +158,13 @@ class Options:
     # the feature loss itself failed to improve; "either" combines both.
     # Measured proxy confusion matrices: ACCURACY_r04.json
     verification_metric: str = "psnr_ssim"
+    # FusionNet BatchNorm statistics in the DFM forward: "batch" is
+    # reference-exact (the torch model is never .eval()'d, so BN uses
+    # each render's own statistics), "running" applies the calibrated
+    # running averages (train/calibration.py), "none" bypasses fusion
+    # and refines against raw rendered features. The accuracy harness
+    # sweeps all three (ACCURACY_r05.json fusion_ablation).
+    fusion_bn: str = "batch"
     per_pixel: bool = False
     svd_reg: bool = False
     freezeBN: bool = False

@@ -118,7 +118,8 @@ def main(argv=None):
     rcfg = RefineConfig(opt_iter=opts.opt_iter, lr_r=opts.lr_r,
                         lr_t=opts.lr_t, tinyscale=opts.tinyscale,
                         per_pixel=opts.per_pixel,
-                        learning_rate=opts.learning_rate)
+                        learning_rate=opts.learning_rate,
+                        fusion=opts.fusion_bn)
     ws = test.world
     ws_vec = jnp.asarray([ws.pose_scale, ws.pose_scale2,
                           *ws.move_all_cam_vec], jnp.float32)
