@@ -146,8 +146,13 @@ class Options:
     # frames folded into ONE device launch as a lax.scan (serial inside,
     # so single-frame peak memory — unlike refine_batch's vmap) to
     # amortize per-launch host dispatch. Orthogonal to refine_batch;
-    # effective with refine_batch=1.
-    scan_frames: int = 4
+    # effective with refine_batch=1. Default 1: the r5 A/B through the
+    # remote-TPU tunnel measured scan_frames=4 as a PESSIMIZATION
+    # (mode-3 CLI 1.689 -> 2.066 s/frame, mode-2 1.686 -> 1.713;
+    # BENCH_r05_local.json vs the same-day scan_frames=1 run) — the
+    # lookahead pipeline in cli/refine.py already hides per-launch
+    # dispatch, and the folded scan only removes launch/transfer overlap.
+    scan_frames: int = 1
     # APR compute dtype during refinement. The reference pins float32
     # (autocast decorator, DFM_pose_refine.py:131); bfloat16 runs the
     # VGG16 tower on the MXU's native type (weights stay f32)

@@ -266,6 +266,7 @@ def main(argv=None):
                 print(f"queued {sl.start}/total {n}", flush=True)
         for entry in pending:
             drain(entry)
+        phase("refinement drained")
         results = pose_errors(out_poses, test.poses)
     else:  # pose_only == 3: APR init poses then SE(3) delta refinement
         from nefes_tpu.refine.apr_opt import apr_pose_any
@@ -279,6 +280,7 @@ def main(argv=None):
                 pose_avg=pose_avg_j))(imgs)
             init_poses.append(np.asarray(poses))
         init_poses = np.concatenate(init_poses)
+        phase("init poses computed")
 
         if len(opts.feature_matching_lvl) != 1:
             # the rendered (fused) features are feature_dim channels; a
@@ -295,6 +297,7 @@ def main(argv=None):
                                         levels=tuple(opts.feature_matching_lvl))
             targets.append(np.asarray(f))
         targets = np.concatenate(targets)
+        phase("targets precomputed")
 
         B = max(1, opts.refine_batch)  # cameras refined per launch
         # scan_frames folds G frames into one lax.scan launch (serial
@@ -349,6 +352,7 @@ def main(argv=None):
                 print(f"queued {sl.start}/total {n}", flush=True)
         for sl_p, ref_p in pending:
             out_poses[sl_p] = np.asarray(ref_p)
+        phase("refinement drained")
         results = pose_errors(out_poses, test.poses)
 
     dt = time.time() - t0

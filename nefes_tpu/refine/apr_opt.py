@@ -270,9 +270,13 @@ def refine_apr_verified_scanned(model: NeFeSModel, variables, dfnet,
     body is the full refine_apr_verified step. Serial inside the launch —
     single-frame peak memory, unlike the vmap path (refine_apr_batch),
     which carries per-frame VGG16 param/Adam copies — but one device
-    dispatch per N frames, amortizing the per-launch host round-trip that
-    dominates the serving-vs-scan gap through the remote-TPU tunnel
-    (BENCH r4/r5: cli 1.44-1.49x the scan rate at scan_frames=1).
+    dispatch per N frames. MEASURED PESSIMIZATION through the remote-TPU
+    tunnel (r5 A/B: mode-2 CLI 1.686 -> 1.713 s/frame, mode-3 1.689 ->
+    2.066 at scan_frames=4 vs 1) — the serving loop's lookahead pipeline
+    already hides per-launch dispatch, and folding frames into one scan
+    removes launch/transfer overlap instead. Kept available via
+    --scan_frames for single-frame-memory serving of huge frame sets;
+    default scan_frames=1.
     idxs/hist_idxs: (N,) int32 frame indices into the staged arrays.
     Returns (N, 3, 4) verified poses."""
     def body(carry, ij):
