@@ -315,6 +315,85 @@ def main():
                 extra[f"{pre}_s_per_frame"] = None
             emit()
 
+    # ---------------- serving-gap attribution A/B ------------------------
+    # The CLI phase marks show the serving gap lives in the launch loop
+    # itself (cli_refine_loop_s_per_frame ~1.6 vs 1.12 bare scan, r5),
+    # not in fixed costs. Attribute it in-process: bare scan vs the
+    # one-launch serving step (traced-idx slicing + verification
+    # fail-safe) vs verification-off vs the CLI's pipelined-drain
+    # mechanics — all per-launch-synced like the scan legs, over
+    # device-resident staged frames, so the differences isolate the
+    # wrapper, the verification render bookkeeping, and the queue.
+    if not SMOKE and leg_fits("serving_ab", 420.0, extra):
+        try:
+            from nefes_tpu.refine.apr_opt import refine_apr_verified
+            Hs, Ws, FULL_H, FULL_W, FOCAL = GEOMS["7scenes"]
+            hwf = (Hs, Ws, FOCAL)
+            hwf_full = (FULL_H, FULL_W, FOCAL * 4)
+            NAB = 8
+            dfnet = DFNet(output_dim=cfg.feature_dim, dtype=jnp.bfloat16)
+            key_img = jax.random.uniform(jax.random.key(3),
+                                         (FULL_H, FULL_W, 3))
+            dfvars = dfnet.init(jax.random.key(1), key_img[None],
+                                upsample_hw=(FULL_H, FULL_W))
+            imgs = jax.random.uniform(jax.random.key(11),
+                                      (NAB, FULL_H, FULL_W, 3))
+            tgts = jax.lax.stop_gradient(jnp.concatenate(
+                [extract_target_features(dfnet, dfvars, imgs[i:i + 4],
+                                         FULL_H, FULL_W)
+                 for i in range(0, NAB, 4)]))
+            hists8 = jnp.zeros((NAB, 10))
+
+            def ab_bare(i):
+                return refine_apr_single(
+                    model, variables, dfnet, dfvars, imgs[i], tgts[i],
+                    hists8[i], ws_vec, hwf, hwf_full, NEAR, FAR,
+                    rcfg_render, rcfg, svd_reg=True)
+
+            def ab_ver(i, uv=True):
+                return refine_apr_verified(
+                    model, variables, dfnet, dfvars, imgs, tgts, hists8,
+                    i, i, ws_vec, hwf, hwf_full, NEAR, FAR, rcfg_render,
+                    rcfg, svd_reg=True, use_verification=uv)
+
+            def ab_time(launch, sync):
+                for w in range(2):
+                    sync(launch(0))
+                t0 = time.perf_counter()
+                for i in range(NAB):
+                    out = launch(i)
+                    sync(out)
+                return round((time.perf_counter() - t0) / NAB, 4)
+
+            extra["serving_ab_bare_s"] = ab_time(
+                ab_bare, lambda o: float(o["losses"][-1]))
+            extra["serving_ab_verified_s"] = ab_time(
+                ab_ver, lambda p: float(p[0, 0]))
+            extra["serving_ab_noverif_s"] = ab_time(
+                lambda i: ab_ver(i, uv=False), lambda p: float(p[0, 0]))
+            # CLI mechanics: bounded in-flight queue, np.asarray drains
+            for w in range(2):
+                np.asarray(ab_ver(0))
+            pending = []
+            t0 = time.perf_counter()
+            for i in range(NAB):
+                pending.append(ab_ver(i))
+                while len(pending) > 4:
+                    np.asarray(pending.pop(0))
+            for p in pending:
+                np.asarray(p)
+            extra["serving_ab_pipelined_s"] = round(
+                (time.perf_counter() - t0) / NAB, 4)
+            del imgs, tgts
+            print(f"[bench] serving_ab: bare {extra['serving_ab_bare_s']} "
+                  f"verified {extra['serving_ab_verified_s']} noverif "
+                  f"{extra['serving_ab_noverif_s']} pipelined "
+                  f"{extra['serving_ab_pipelined_s']} s/frame", flush=True)
+        except Exception as e:
+            print(f"[bench] serving_ab failed: {e}")
+            extra["serving_ab_bare_s"] = None
+        emit()
+
     # ---------------- training throughput (paper config) -----------------
     if leg_fits("train_throughput", 240.0, extra):
         from nefes_tpu.train import (

@@ -271,14 +271,23 @@ def main(argv=None):
     else:  # pose_only == 3: APR init poses then SE(3) delta refinement
         from nefes_tpu.refine.apr_opt import apr_pose_any
         pose_avg_j = None if pose_avg is None else jnp.asarray(pose_avg)
+        # jit the batched APR forward: an unjitted vmap call dispatches
+        # the whole pjit-batched program through the tunnel with eager
+        # outer bookkeeping every chunk — measured 3.6 s of the mode-3
+        # CLI's fixed cost at 16 frames (BENCH r5 cli_mode3_init_poses_s)
+        apr_batch_fwd = jax.jit(jax.vmap(lambda im: apr_pose_any(
+            opts.PoseEstimatorType, apr_module, apr_vars, im,
+            opts.svd_reg, dataset_type=opts.dataset_type,
+            pose_avg=pose_avg_j)))
         init_poses = []
         for i in range(0, n, 8):
-            imgs = jnp.asarray(test.images[i:i + 8])
-            poses = jax.vmap(lambda im: apr_pose_any(
-                opts.PoseEstimatorType, apr_module, apr_vars, im,
-                opts.svd_reg, dataset_type=opts.dataset_type,
-                pose_avg=pose_avg_j))(imgs)
-            init_poses.append(np.asarray(poses))
+            chunk = np.asarray(test.images[i:i + 8])
+            nb = chunk.shape[0]
+            if nb < 8:   # pad the tail: a fresh shape would recompile
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], 8 - nb, axis=0)])
+            init_poses.append(np.asarray(apr_batch_fwd(
+                jnp.asarray(chunk)))[:nb])
         init_poses = np.concatenate(init_poses)
         phase("init poses computed")
 
@@ -289,14 +298,23 @@ def main(argv=None):
             raise ValueError(
                 "feature_matching_lvl must select exactly one level for "
                 f"DFM refinement, got {opts.feature_matching_lvl!r}")
+        # render-scale targets are small (h*w*feature_dim*4 ≈ 2.5 MB per
+        # frame at 7-Scenes); keep them ON DEVICE when the set fits — the
+        # host readback here plus the per-launch re-upload in stage3 cost
+        # a measured 2.7 s + ~0.1 s/frame over the tunnel (BENCH r5
+        # cli_mode3_targets_s). Huge sets spill to host and stream back
+        # per slice, exactly like mode 2 above.
+        target_bytes3 = n * h * w * opts.feature_dim * 4
+        on_device3 = target_bytes3 < 2 * 1024 ** 3
         targets = []
         for i in range(0, n, 8):
             f = extract_target_features(dfnet, dfvars,
                                         jnp.asarray(test.images[i:i + 8]),
                                         h, w,
                                         levels=tuple(opts.feature_matching_lvl))
-            targets.append(np.asarray(f))
-        targets = np.concatenate(targets)
+            targets.append(f if on_device3 else np.asarray(f))
+        targets = (jnp.concatenate(targets) if on_device3
+                   else np.concatenate(targets))
         phase("targets precomputed")
 
         B = max(1, opts.refine_batch)  # cameras refined per launch
@@ -318,8 +336,10 @@ def main(argv=None):
             ONE compiled executable (a fresh tail shape would recompile
             the whole scan program — minutes through the remote relay)."""
             idx = np.minimum(np.arange(sl.start, sl.start + G), sl.stop - 1)
+            tg = (jnp.take(targets, jnp.asarray(idx, jnp.int32), axis=0)
+                  if on_device3 else jax.device_put(targets[idx]))
             return (jax.device_put(init_poses[idx]),
-                    jax.device_put(targets[idx]),
+                    tg,
                     jax.device_put(hists_np[idx]),
                     None if masks_np3 is None
                     else jax.device_put(masks_np3[idx]))
