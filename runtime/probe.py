@@ -1581,24 +1581,48 @@ def cmd_profile(args):
         hlo = lowered.compile().as_text()
         with open(os.path.join(tdir, "hlo.txt"), "w") as f:
             f.write(hlo)          # offline re-attribution without recompile
-        phases, per_op = attribute(ops, hlo)
+        phases, per_op, phase_bytes = attribute(ops, hlo, want_bytes=True)
         phases_frame = {k: round(v / NFRAMES, 3) for k, v in phases.items()}
         top = [{"ms_per_frame": round(ms / NFRAMES, 3), "op": name,
                 "opcode": opcode, "phase": cat, "count": cnt // NFRAMES}
                for ms, name, opcode, cat, cnt in per_op[:args.top]]
+        # bandwidth-floor attribution (VERDICT r4 item 6): for each phase,
+        # result+operand bytes of its ops (an HBM-traffic UPPER bound —
+        # VMEM reuse only lowers it, xprof._op_bytes) over its measured
+        # device time. A phase near HBM_GBPS is at its bandwidth floor:
+        # making it faster requires moving fewer bytes (smaller dtypes /
+        # fusion), not better scheduling. Phases far below the line and
+        # not MXU-heavy are latency/issue-bound.
+        HBM_GBPS = 819.0          # TPU v5e HBM2E peak
+        floors = {}
+        for k, ms in phases.items():
+            if ms <= 0 or k not in phase_bytes:
+                continue
+            gb = phase_bytes[k] / 1e9
+            gbps = gb / (ms / 1e3)
+            floors[k] = {"bytes_per_frame_mb": round(
+                             gb * 1e3 / NFRAMES, 1),
+                         "achieved_gbps_upper_bound": round(gbps, 1),
+                         "hbm_roofline_frac": round(gbps / HBM_GBPS, 3)}
         leg = {"wall_s_per_frame": round(wall, 4),
                "device_busy_ms_per_frame": round(busy_ms / NFRAMES, 1),
                "device_span_ms_per_frame": round(span_ms / NFRAMES, 1),
                "host_gap_ms_per_frame": round(
                    wall * 1000 - busy_ms / NFRAMES, 1),
                "phases_ms_per_frame": phases_frame,
+               "hbm_peak_gbps": HBM_GBPS,
+               "phase_bandwidth_floors": floors,
                "top_ops": top}
         print(f"\n=== {tag}: wall {wall:.3f} s/frame, device busy "
               f"{busy_ms / NFRAMES:.0f} ms ===", flush=True)
         width = max(len(k) for k in phases_frame)
         for k, v in phases_frame.items():
+            fl = floors.get(k)
+            bw = (f"  {fl['achieved_gbps_upper_bound']:7.1f} GB/s "
+                  f"({fl['hbm_roofline_frac'] * 100:3.0f}% HBM)"
+                  if fl else "")
             print(f"  {k:<{width}}  {v:8.1f} ms "
-                  f"({v / (busy_ms / NFRAMES) * 100:4.1f}% of busy)")
+                  f"({v / (busy_ms / NFRAMES) * 100:4.1f}% of busy){bw}")
         print("  -- top ops --")
         for t in top[:12]:
             print(f"  {t['ms_per_frame']:8.1f} ms x{t['count']:>4} "

@@ -82,7 +82,8 @@ def load_xla_ops(trace_dir: str):
 # HLO text parsing -> per-instruction source attribution
 # --------------------------------------------------------------------------
 
-_INSTR_RE = re.compile(r"^\s*(ROOT\s+)?(%[\w.\-]+)\s*=\s*\S+\s+([\w\-]+)")
+_INSTR_RE = re.compile(
+    r"^\s*(ROOT\s+)?(%[\w.\-]+)\s*=\s*((?:\([^)]*\))|\S+)\s+([\w\-]+)")
 _COMP_RE = re.compile(r"^(%[\w.\-]+)\s*(?:\([^)]*\))?\s*->.*{\s*$")
 _META_RE = re.compile(
     r'metadata={[^}]*?source_file="([^"]+)"[^}]*?source_line=(\d+)')
@@ -96,6 +97,29 @@ _HEAVY = {"dot": 30.0, "convolution": 30.0, "custom-call": 10.0,
           "reduce": 3.0, "reduce-window": 5.0, "exponential": 2.0}
 
 
+_DTYPE_BYTES = {"f64": 8, "s64": 8, "u64": 8, "c64": 8,
+                "f32": 4, "s32": 4, "u32": 4,
+                "bf16": 2, "f16": 2, "s16": 2, "u16": 2,
+                "f8e4m3fn": 1, "f8e5m2": 1,
+                "s8": 1, "u8": 1, "pred": 1}
+_SHAPE_RE = re.compile(r"([a-z0-9]+)\[([\d,]*)\]")
+
+
+def _shape_bytes(shape_txt: str) -> int:
+    """Total bytes of an HLO result type ('bf16[4800,192,128]{...}' or a
+    tuple '(f32[...], bf16[...])'). Token types (rng state etc.) count 0."""
+    total = 0
+    for dt, dims in _SHAPE_RE.findall(shape_txt):
+        if dt not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
 @dataclass
 class HloIndex:
     """instr -> opcode / source / called computations; comp -> members."""
@@ -103,6 +127,8 @@ class HloIndex:
     instr_src: dict = field(default_factory=dict)       # (file, line) | None
     instr_calls: dict = field(default_factory=dict)     # list of comp names
     comp_members: dict = field(default_factory=lambda: defaultdict(list))
+    instr_bytes: dict = field(default_factory=dict)     # result bytes
+    instr_operands: dict = field(default_factory=dict)  # operand instr names
 
 
 def parse_hlo(hlo_text: str) -> HloIndex:
@@ -120,8 +146,16 @@ def parse_hlo(hlo_text: str) -> HloIndex:
         m = _INSTR_RE.match(line)
         if not m:
             continue
-        name, opcode = m.group(2), m.group(3)
+        name, shape_txt, opcode = m.group(2), m.group(3), m.group(4)
         idx.instr_op[name] = opcode
+        idx.instr_bytes[name] = _shape_bytes(shape_txt)
+        # operand names: %refs between the opcode's '(' and any metadata/
+        # calls annotation — gives the op's HBM read set (approximate:
+        # VMEM-resident reuse isn't visible in HLO text)
+        body = line[m.end():]
+        body = body.split("metadata=")[0].split("calls=")[0]
+        body = body.split("to_apply=")[0]
+        idx.instr_operands[name] = re.findall(r"%[\w.\-]+", body)
         msrc = _META_RE.search(line)
         if msrc:
             idx.instr_src[name] = (msrc.group(1), int(msrc.group(2)))
@@ -234,15 +268,34 @@ def categorize(src: tuple[str, int] | None) -> str:
     return "other"
 
 
-def attribute(ops: dict, hlo_text: str):
+def _op_bytes(idx: HloIndex, name: str) -> int:
+    """HBM traffic bound for one executed instruction: result bytes plus
+    every distinct operand's bytes (an op must write its output and read
+    each operand at least zero and at most once from HBM — reuse out of
+    VMEM makes this an UPPER bound, so achieved-GB/s computed from it is
+    an upper bound and 'phase runs at the HBM roofline' claims derived
+    from it are conservative)."""
+    total = idx.instr_bytes.get(name, 0)
+    for operand in dict.fromkeys(idx.instr_operands.get(name, ())):
+        total += idx.instr_bytes.get(operand, 0)
+    return total
+
+
+def attribute(ops: dict, hlo_text: str, want_bytes: bool = False):
     """ops (from load_xla_ops) + compiled HLO text -> per-phase ms table.
 
     Each op's time is attributed fractionally across the phases of its
     member instructions (heavy opcodes weighted up). Ops not found in the
     HLO (e.g. runtime copies) land in 'data_movement'.
+
+    With want_bytes=True returns (phases_ms, per_op, phase_bytes) where
+    phase_bytes sums each op's result+operand bytes (x its execution
+    count) into the op's MAIN phase — dividing by phases_ms gives the
+    phase's achieved HBM bandwidth upper bound (see _op_bytes).
     """
     idx = parse_hlo(hlo_text)
     phases: dict[str, float] = defaultdict(float)
+    phase_bytes: dict[str, float] = defaultdict(float)
     per_op = []
     for name, rec in ops.items():
         srcs = _expand_sources(idx, name)
@@ -259,6 +312,7 @@ def attribute(ops: dict, hlo_text: str):
                 k in name for k in ("copy", "bitcast", "tuple", "infeed",
                                     "outfeed")) else "uncategorized")
             phases[cat] += rec["ms"]
+            phase_bytes[cat] += _op_bytes(idx, name) * rec["count"]
             per_op.append((rec["ms"], name, opcode, cat, rec["count"]))
             continue
         total_w = sum(w for w, _ in srcs)
@@ -268,6 +322,10 @@ def attribute(ops: dict, hlo_text: str):
         for cat, w in cat_w.items():
             phases[cat] += rec["ms"] * (w / total_w)
         main_cat = max(cat_w.items(), key=lambda kv: kv[1])[0]
+        phase_bytes[main_cat] += _op_bytes(idx, name) * rec["count"]
         per_op.append((rec["ms"], name, opcode, main_cat, rec["count"]))
     per_op.sort(reverse=True)
-    return dict(sorted(phases.items(), key=lambda kv: -kv[1])), per_op
+    phases_sorted = dict(sorted(phases.items(), key=lambda kv: -kv[1]))
+    if want_bytes:
+        return phases_sorted, per_op, dict(phase_bytes)
+    return phases_sorted, per_op

@@ -51,6 +51,20 @@ def test_attribute_phases_and_heavy_weighting():
     assert per_op[0][0] == 20.0  # sorted by time
 
 
+def test_attribute_bytes_floor():
+    # f32[8,128] = 4096 B. fusion.1 reads %a and writes its result ->
+    # 8192 B per execution x count 5; fusion.2 likewise reads fusion.1.
+    ops = {"%fusion.1": {"ms": 10.0, "count": 5, "hlo": "x"},
+           "%fusion.2": {"ms": 20.0, "count": 5, "hlo": "y"}}
+    phases, per_op, phase_bytes = attribute(ops, HLO, want_bytes=True)
+    assert phase_bytes["embed"] == 2 * 4096 * 5
+    # fusion.2's main phase is sampling+sort (dot weight dominates)
+    assert phase_bytes["sampling+sort"] == 2 * 4096 * 5
+    idx = parse_hlo(HLO)
+    assert idx.instr_bytes["%fusion.1"] == 4096
+    assert idx.instr_operands["%fusion.2"] == ["%fusion.1"]
+
+
 def test_categorize_tracks_source_layout():
     # find the REAL current line of FusionNet's conv in nerfh_nff.py —
     # the categorizer must follow the file as it shifts between rounds
