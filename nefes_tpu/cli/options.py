@@ -157,6 +157,16 @@ class Options:
     # (autocast decorator, DFM_pose_refine.py:131); bfloat16 runs the
     # VGG16 tower on the MXU's native type (weights stay f32)
     apr_compute_dtype: str = "float32"
+    # NeRF FIELD compute dtype during refinement (params stay f32). The
+    # refine CLI defaults to bfloat16 — the benched headline config: the
+    # field MLP is HBM-bandwidth-floored (88% of the v5e roofline at bf16,
+    # PROFILE_r05.json), so an f32 field doubles its byte traffic and was
+    # measured as the CLI serving loop's 1.50 vs 1.12 s/frame scan gap
+    # (the bench scan legs always ran the field in bf16; the CLI built it
+    # f32). Converged DFM loss matches f32 to ~1e-4 (BENCH final_loss
+    # f32 0.98786 vs bf16 0.98771). Training is unaffected (cli/train.py
+    # builds its own f32 model).
+    field_compute_dtype: str = "bfloat16"
     no_verification_step: bool = False
     # retreat signal for the verification fail-safe: "psnr_ssim" is the
     # reference's proxy (DFM_APR_refine.py:242-250); "dfm" retreats when

@@ -54,6 +54,16 @@ def main(argv=None):
                            pose_avg_override=train_scene.pose_avg_stats)
     phase("scene loaded")
     cfg, model = build_model(opts)
+    # refinement runs the field in the benched compute dtype (bf16 by
+    # default — see options.field_compute_dtype): the field MLP is
+    # bandwidth-floored, so leaving build_model's f32 was measured as the
+    # whole 1.50-vs-1.12 s/frame CLI serving gap (params stay f32)
+    from nefes_tpu.train import ModelConfig, NeFeSModel
+    fdt = jnp.dtype(opts.field_compute_dtype)
+    if isinstance(cfg, ModelConfig) and jnp.dtype(cfg.dtype) != fdt:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, dtype=fdt)
+        model = NeFeSModel(cfg)
 
     # field weights: converted reference .tar or our orbax ckpt
     if opts.ft_path and opts.ft_path.endswith(".tar"):
@@ -210,6 +220,29 @@ def main(argv=None):
             out_poses[sl_p] = np.asarray(pose_dev).reshape(-1, 3, 4)
             phase(f"drained {sl_p.start}")
 
+        if B == 1 and SF == 1 and on_device:
+            # FAST PATH (device-resident sets): one launch per frame over
+            # the FULL arrays with a traced index — zero per-frame
+            # staging. The per-slice stage()+device_put pipeline below
+            # adds 3-4 tunnel dispatches per frame, measured as the CLI
+            # loop's 1.64 vs 1.09 s/frame gap against the identical
+            # in-process launch sequence (BENCH r5 serving_ab_pipelined).
+            masks_dev = None if masks_np is None else jnp.asarray(masks_np)
+            for i in range(n):
+                pose = refine_apr_verified(
+                    model, variables, apr_module, apr_vars,
+                    images_all, targets, hists_dev, i, i,
+                    ws_vec, hwf_render, hwf_full, near, far,
+                    rcfg_render, rcfg, masks=masks_dev,
+                    use_verification=not opts.no_verification_step,
+                    verification_metric=opts.verification_metric,
+                    has_mask=masks_dev is not None, **kw)
+                pending.append((slice(i, i + 1), pose))
+                while len(pending) > LOOKAHEAD:
+                    drain(pending.pop(0))
+                if i % 50 == 0:
+                    print(f"queued {i}/total {n}", flush=True)
+            slices = []
         staged = stage(slices[0]) if slices else None
         for si, sl in enumerate(slices):
             imgs_d, tgts_d, masks_d = staged
@@ -269,16 +302,14 @@ def main(argv=None):
         phase("refinement drained")
         results = pose_errors(out_poses, test.poses)
     else:  # pose_only == 3: APR init poses then SE(3) delta refinement
-        from nefes_tpu.refine.apr_opt import apr_pose_any
+        from nefes_tpu.refine.apr_opt import apr_poses_batched
         pose_avg_j = None if pose_avg is None else jnp.asarray(pose_avg)
-        # jit the batched APR forward: an unjitted vmap call dispatches
-        # the whole pjit-batched program through the tunnel with eager
-        # outer bookkeeping every chunk — measured 3.6 s of the mode-3
-        # CLI's fixed cost at 16 frames (BENCH r5 cli_mode3_init_poses_s)
-        apr_batch_fwd = jax.jit(jax.vmap(lambda im: apr_pose_any(
-            opts.PoseEstimatorType, apr_module, apr_vars, im,
-            opts.svd_reg, dataset_type=opts.dataset_type,
-            pose_avg=pose_avg_j)))
+        # module-level jitted batched APR forward (apr_poses_batched):
+        # a per-invocation jit(vmap(...)) wrapper retraced the whole
+        # VGG16 program every main() call — measured 22.3 s of the
+        # 16-frame mode-3 serving fixture vs 3.6 s eager (BENCH r5
+        # cli_mode3_init_poses_s); the cache-stable module-level form
+        # pays tracing once per process
         init_poses = []
         for i in range(0, n, 8):
             chunk = np.asarray(test.images[i:i + 8])
@@ -286,8 +317,11 @@ def main(argv=None):
             if nb < 8:   # pad the tail: a fresh shape would recompile
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], 8 - nb, axis=0)])
-            init_poses.append(np.asarray(apr_batch_fwd(
-                jnp.asarray(chunk)))[:nb])
+            init_poses.append(np.asarray(apr_poses_batched(
+                opts.PoseEstimatorType, apr_module, apr_vars,
+                jnp.asarray(chunk), opts.svd_reg,
+                dataset_type=opts.dataset_type,
+                pose_avg=pose_avg_j))[:nb])
         init_poses = np.concatenate(init_poses)
         phase("init poses computed")
 
@@ -350,7 +384,31 @@ def main(argv=None):
         # axon tunnel); materialize refined poses LOOKAHEAD launches late
         LOOKAHEAD = 4
         pending: list[tuple[slice, object]] = []
-        from nefes_tpu.refine.pose_opt import refine_poses_scanned
+        from nefes_tpu.refine.pose_opt import (
+            refine_pose_indexed, refine_poses_scanned,
+        )
+        if B == 1 and SF == 1 and on_device3:
+            # FAST PATH (device-resident targets): one launch per frame
+            # over the full arrays with a traced index — zero per-frame
+            # staging (same measured rationale as the mode-2 fast path
+            # above; BENCH r5 serving_ab)
+            poses_dev = jnp.asarray(init_poses)
+            hists_dev3 = jnp.asarray(hists_np)
+            masks_dev3 = (None if masks_np3 is None
+                          else jnp.asarray(masks_np3))
+            for i in range(n):
+                refined = refine_pose_indexed(
+                    model, variables, poses_dev, targets, hists_dev3, i,
+                    ws_vec, hwf_render, ws.near, ws.far,
+                    rcfg_render, rcfg,
+                    masks=masks_dev3, has_mask=masks_dev3 is not None)
+                pending.append((slice(i, i + 1), refined[None]))
+                while len(pending) > LOOKAHEAD:
+                    sl_p, ref_p = pending.pop(0)
+                    out_poses[sl_p] = np.asarray(ref_p)
+                if i % 50 == 0:
+                    print(f"queued {i}/total {n}", flush=True)
+            slices = []
         staged = stage3(slices[0]) if slices else None
         for si, sl in enumerate(slices):
             poses_d, tgts_d, hists_d, masks_d = staged

@@ -89,6 +89,27 @@ def apr_pose_any(kind: str, module, variables, image: jnp.ndarray,
     return orthogonalize_rotation(pose) if svd_reg else pose
 
 
+@partial(jax.jit, static_argnames=("kind", "module", "svd_reg",
+                                   "freeze_bn", "dataset_type"))
+def apr_poses_batched(kind: str, module, variables, images: jnp.ndarray,
+                      svd_reg: bool = True, freeze_bn: bool = True,
+                      dataset_type: str = "7Scenes",
+                      pose_avg: jnp.ndarray | None = None) -> jnp.ndarray:
+    """(B, H, W, 3) images -> (B, 3, 4) APR poses, one jitted vmap launch.
+
+    MODULE-LEVEL jit on purpose: the CLI calls this once per image chunk
+    and possibly across several `main()` invocations in one process — a
+    per-call `jax.jit(vmap(...))` wrapper retraces the whole VGG16
+    program every invocation (measured 22.3 s of the 16-frame mode-3
+    serving fixture vs 3.6 s eager, BENCH r5), while this cache-stable
+    form pays tracing once per process and pure execution after
+    (~7 ms/frame + dispatch). Weights are ARGUMENTS, not closure
+    constants, so fresh-but-equal arrays don't invalidate the cache."""
+    return jax.vmap(lambda im: apr_pose_any(
+        kind, module, variables, im, svd_reg, freeze_bn,
+        dataset_type, pose_avg))(images)
+
+
 @partial(jax.jit, static_argnames=("model", "dfnet", "cfg", "rcfg",
                                    "hwf_render", "hwf_full", "svd_reg",
                                    "freeze_bn", "apr_kind", "dataset_type"))

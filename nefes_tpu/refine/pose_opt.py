@@ -186,6 +186,27 @@ def refine_poses_batch(model: NeFeSModel, variables, init_poses, target_feats,
     return jax.vmap(fn)(init_poses, target_feats, hists, masks)
 
 
+@partial(jax.jit, static_argnames=("model", "hwf", "cfg", "rcfg",
+                                   "has_mask"))
+def refine_pose_indexed(model: NeFeSModel, variables, init_poses,
+                        target_feats, hists, idx, ws_vec: jnp.ndarray,
+                        hwf: tuple, near: float, far: float,
+                        cfg: RenderConfig, rcfg: RefineConfig,
+                        masks=None, has_mask: bool = False) -> jnp.ndarray:
+    """ONE-LAUNCH mode-3 serving step over DEVICE-RESIDENT frame sets:
+    slice frame ``idx`` (a traced scalar — one executable serves every
+    frame) out of the full staged arrays, run the 50-iter SE(3) scan,
+    return only the (3, 4) refined pose. The mode-3 counterpart of
+    refine_apr_verified: per-frame host-side slicing + device_put staging
+    puts 3-4 extra tunnel dispatches on every frame (measured as the
+    mode-3 CLI loop's 1.36 vs 0.96 scan gap, BENCH r5 serving_ab)."""
+    refined, _ = refine_pose_single(
+        model, variables, init_poses[idx], target_feats[idx], hists[idx],
+        ws_vec, hwf, near, far, cfg, rcfg,
+        mask=masks[idx] if has_mask else None)
+    return refined
+
+
 @partial(jax.jit, static_argnames=("model", "ws", "hwf", "cfg", "rcfg"))
 def refine_poses_scanned(model: NeFeSModel, variables, init_poses,
                          target_feats, hists, ws: WorldSetup, hwf: tuple,

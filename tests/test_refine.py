@@ -151,6 +151,18 @@ def test_mode3_batch_vmap():
     np.testing.assert_allclose(np.asarray(scanned), np.asarray(refined),
                                rtol=1e-4, atol=1e-5)
 
+    # the traced-index serving launch (cli/refine.py device-resident fast
+    # path) must emit the same refined pose per frame
+    from nefes_tpu.refine.pose_opt import refine_pose_indexed
+    for i in range(2):
+        indexed = refine_pose_indexed(
+            model, variables, jnp.stack([pert, pert2]),
+            jax.lax.stop_gradient(jnp.stack(feats)), hists, i,
+            WS_VEC, HWF, NEAR, FAR, CFG, rcfg)
+        np.testing.assert_allclose(np.asarray(indexed),
+                                   np.asarray(refined[i]),
+                                   rtol=1e-4, atol=1e-5)
+
 
 def test_mode2_apr_refinement_smoke():
     """Mode-2 (APR-weight) loop end-to-end with a real DFNet on a small

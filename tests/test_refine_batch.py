@@ -88,3 +88,35 @@ def test_batched_mode2_matches_serial():
         np.testing.assert_allclose(np.asarray(scanned[g]),
                                    np.asarray(per_frame[i]),
                                    rtol=1e-3, atol=5e-4)
+
+
+def test_apr_poses_batched_matches_serial_and_caches():
+    """Batched jitted APR init == per-image forward, and repeat calls
+    (fresh-but-equal weights, as across CLI invocations in one process)
+    reuse the SAME compiled executable — the per-invocation jit(vmap)
+    wrapper it replaces retraced VGG16 every call (22.3 s of the 16-frame
+    mode-3 serving fixture, BENCH r5)."""
+    from nefes_tpu.refine.apr_opt import apr_pose_any, apr_poses_batched
+
+    cfg = ModelConfig.tiny()
+    dfnet = DFNet(output_dim=cfg.feature_dim)
+    dfvars = dfnet.init(jax.random.key(1), jnp.zeros((1, *HW, 3)),
+                        upsample_hw=HW)
+    dfvars["params"]["fc_pose"]["bias"] = jnp.asarray(
+        [1, 0, 0, 0.0, 0, 1, 0, 0.3, 0, 0, 1, 1.2], jnp.float32)
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.uniform(size=(3, *HW, 3)).astype(np.float32))
+
+    batched = apr_poses_batched("DFNet", dfnet, dfvars, images)
+    assert batched.shape == (3, 3, 4)
+    for i in range(3):
+        np.testing.assert_allclose(
+            np.asarray(batched[i]),
+            np.asarray(apr_pose_any("DFNet", dfnet, dfvars, images[i])),
+            rtol=1e-5, atol=1e-5)
+
+    size0 = apr_poses_batched._cache_size()
+    dfvars2 = jax.tree.map(jnp.array, dfvars)      # fresh, equal arrays
+    dfnet2 = DFNet(output_dim=cfg.feature_dim)     # fresh, equal module
+    apr_poses_batched("DFNet", dfnet2, dfvars2, jnp.array(images))
+    assert apr_poses_batched._cache_size() == size0
